@@ -1,0 +1,83 @@
+"""Dataclass configuration for renderer / scene / mesh / training.
+
+The reference configures everything through seven argparse flags and two
+hardcoded hyperparameters (``/root/reference/src/rtgs/__main__.py:38-84,98``);
+here the same knobs (plus TPU-specific ones) live in dataclasses with CLI
+overrides, per SURVEY.md §5. Flag names/semantics are kept compatible where
+they map (``res``, ``fov``, ``sample``, ``depth``, ``scale``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass
+class RenderConfig:
+    """Rendering parameters (reference ``__main__.py:44-70``)."""
+
+    res: Tuple[int, int] = (960, 540)  # (W, H)
+    fov: float = 90.0                  # vertical FOV, degrees
+    sample: int = 1                    # samples (deterministic → identical)
+    depth: int = 16                    # composited layers per ray
+    renderer: str = "auto"             # auto | oracle | tiled
+    tile: Tuple[int, int] = (32, 8)    # pixel tile (W, H) for the tiled path
+    max_candidates: int = 512          # per-tile candidate list width
+
+
+@dataclasses.dataclass
+class SceneConfig:
+    """Scene loading (reference ``__main__.py:38-43,79-84,96-99``)."""
+
+    path: Optional[str] = None
+    scale: float = 1.0
+    sh_layout: str = "inria"
+    # BVH knobs kept for capability parity (``__main__.py:72-78,98``); the
+    # tiled renderer does not need them, the LBVH module uses leaf_prim.
+    bvh_nodes: int = 1024
+    balance_weight: int = 4
+    leaf_prim: int = 16
+
+
+@dataclasses.dataclass
+class MeshConfig:
+    """Device-mesh layout: rays axis (pixel data-parallel) × prims axis
+    (Gaussian sharding, ring pass). SURVEY.md §2.3."""
+
+    rays: int = 1
+    prims: int = 1
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """3DGS optimization loop (the reference's stub ``solver.py:22-42`` made
+    real; hyperparameters follow the 3DGS paper's standard recipe)."""
+
+    iterations: int = 7000
+    lr_means: float = 1.6e-4
+    lr_quats: float = 1e-3
+    lr_scales: float = 5e-3
+    lr_colors: float = 2.5e-3
+    lr_sh: float = 2.5e-3 / 20
+    lr_opacities: float = 5e-2
+    lambda_dssim: float = 0.2
+    # Adaptive density control.
+    densify_from: int = 500
+    densify_until: int = 15000
+    densify_every: int = 100
+    densify_grad_threshold: float = 2e-4
+    opacity_reset_every: int = 3000
+    prune_opacity: float = 5e-3
+    percent_dense: float = 0.01
+    # Checkpointing.
+    checkpoint_every: int = 1000
+    checkpoint_dir: str = "checkpoints"
+
+
+@dataclasses.dataclass
+class Config:
+    render: RenderConfig = dataclasses.field(default_factory=RenderConfig)
+    scene: SceneConfig = dataclasses.field(default_factory=SceneConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)

@@ -1,0 +1,3 @@
+from rtgs_tpu.io.ply import read_ply, write_ply
+
+__all__ = ["read_ply", "write_ply"]

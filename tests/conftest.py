@@ -1,0 +1,36 @@
+"""Test configuration: force CPU with 8 virtual devices so sharding tests run
+without TPU hardware (SURVEY.md §4 — the reference gets the same effect from
+Taichi's silent arch fallback on CI).
+
+The image's sitecustomize initializes the tunneled-TPU (axon) backend at
+interpreter startup, so a plain ``JAX_PLATFORMS=cpu`` env var is ignored;
+``force_cpu_devices`` clears and re-resolves the backend.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rtgs_tpu.utils.platform import force_cpu_devices  # noqa: E402
+
+force_cpu_devices(8)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+assert jax.local_devices()[0].platform == "cpu"
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
+
+
+@pytest.fixture
+def key():
+    return jax.random.PRNGKey(42)
