@@ -1,0 +1,118 @@
+"""Benchmark harness: one JSON line for the driver.
+
+Headline metric (BASELINE.json): forward+backward rays/s on one chip at a
+1M-Gaussian scene, 1080p, depth 16. Baseline: the reference's derived
+throughput of ~0.49M full 16-deep rays/s (BASELINE.md — 960×540 @ 15 FPS,
+one peel per frame).
+
+Runs on whatever backend the environment provides (the tunneled TPU chip in
+the driver's bench run). Falls back to smaller configurations rather than
+crashing, and reports which configuration ran in the JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+BASELINE_RAYS_PER_S = 0.49e6  # reference, full 16-deep rays/s (BASELINE.md)
+
+
+def _build(n_gauss, res, seed=0):
+    import numpy as np
+    import jax
+
+    from rtgs_tpu.camera import camera_from_fov
+    from rtgs_tpu.scene import random_scene
+    from rtgs_tpu.viewer.orbit import orbit_camera_pose
+
+    key = jax.random.PRNGKey(seed)
+    g = random_scene(key, n_gauss, extent=2.0, scale_range=(0.005, 0.03))
+    pos, rot, _, _ = orbit_camera_pose(
+        0.4, 1.2, 5.0, np.zeros(3), np.array([0.0, 0.0, 0.0, 1.0]))
+    cam = camera_from_fov(pos, rot, res, 60.0)
+    return g, cam
+
+
+def _time(fn, iters=5):
+    import jax
+
+    jax.block_until_ready(fn())  # compile + warm
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn())
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from rtgs_tpu.render.tiled import render_tiled
+
+    configs = [
+        dict(n=1_000_000, res=(1920, 1080), depth=16, label="1M@1080p"),
+        dict(n=250_000, res=(1280, 720), depth=16, label="250k@720p"),
+        dict(n=50_000, res=(640, 360), depth=16, label="50k@360p"),
+    ]
+    render_kw = dict(tile=(32, 8), max_candidates=512, max_global=64)
+
+    result = None
+    for cfg in configs:
+        try:
+            g, cam = _build(cfg["n"], cfg["res"])
+            rays = cfg["res"][0] * cfg["res"][1]
+
+            def fwd():
+                return render_tiled(g, cam, depth=cfg["depth"], **render_kw)
+
+            t_fwd = _time(fwd)
+
+            def loss(gg):
+                return jnp.sum(render_tiled(
+                    gg, cam, depth=cfg["depth"], **render_kw))
+
+            grad_fn = jax.jit(jax.grad(loss))
+
+            try:
+                def fwd_bwd():
+                    return grad_fn(g)
+
+                t_fwdbwd = _time(fwd_bwd)
+                mode = "fwd+bwd"
+                t = t_fwdbwd
+            except Exception as e:
+                print(f"# bwd failed ({type(e).__name__}: {e}); "
+                      "reporting fwd only", file=sys.stderr)
+                mode, t = "fwd", t_fwd
+
+            value = rays / t
+            result = {
+                "metric": f"rays_per_s_{mode}_{cfg['label']}",
+                "value": round(value, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(value / BASELINE_RAYS_PER_S, 3),
+                "config": cfg["label"],
+                "mode": mode,
+                "fwd_ms": round(t_fwd * 1e3, 2),
+                "step_ms": round(t * 1e3, 2),
+                "device": str(jax.devices()[0]),
+            }
+            break
+        except Exception as e:
+            print(f"# config {cfg['label']} failed: "
+                  f"{type(e).__name__}: {e}", file=sys.stderr)
+            continue
+
+    if result is None:
+        result = {"metric": "rays_per_s", "value": 0.0, "unit": "rays/s",
+                  "vs_baseline": 0.0, "error": "all configs failed"}
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

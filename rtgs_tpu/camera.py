@@ -13,17 +13,28 @@ per-pixel kernel — one fused XLA op instead of a Taichi parallel-for.
 
 from __future__ import annotations
 
+import dataclasses
 import math
-from typing import NamedTuple, Tuple
+from functools import partial
+from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 from rtgs_tpu.rays import Rays
 from rtgs_tpu.utils import quaternion as quat
 
 
-class Camera(NamedTuple):
-    """Pinhole camera (reference ``camera.py:9-29``).
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["position", "rotation", "focal_length"],
+         meta_fields=["buf_size"])
+@dataclasses.dataclass(frozen=True)
+class Camera:
+    """Pinhole camera (reference ``camera.py:9-29``), a JAX pytree.
+
+    ``buf_size`` is pytree *metadata* (static under ``jit`` — it determines
+    array shapes); position/rotation/focal_length are traced leaves, so the
+    training loop can differentiate camera pose if desired.
 
     Attributes:
       position:     (3,) camera position.
@@ -34,16 +45,16 @@ class Camera(NamedTuple):
 
     position: jnp.ndarray
     rotation: jnp.ndarray
-    buf_size: Tuple[int, int]
     focal_length: jnp.ndarray
+    buf_size: Tuple[int, int]
 
 
 def new_camera(position, rotation, buf_size, focal_length) -> Camera:
     return Camera(
         position=jnp.asarray(position, jnp.float32),
         rotation=jnp.asarray(rotation, jnp.float32),
-        buf_size=(int(buf_size[0]), int(buf_size[1])),
         focal_length=jnp.asarray(focal_length, jnp.float32),
+        buf_size=(int(buf_size[0]), int(buf_size[1])),
     )
 
 

@@ -60,18 +60,14 @@ def _safe_midpoint_alpha(gathered_cov_inv, gathered_means, gathered_opac,
     return jnp.where(valid & finite, alpha, 0.0)
 
 
-@partial(jax.jit, static_argnames=("depth",))
-def composite_rays(g: G.Gaussians, rays: Rays, depth: int = 16):
-    """Render a flat bundle of rays against all Gaussians, brute force.
+def topk_hits(g: G.Gaussians, rays: Rays, k: int):
+    """Intersect a flat ray bundle with all Gaussians and keep the K nearest
+    accepted hits per ray, ascending by entry depth t1.
 
-    Args:
-      g: the Gaussian scene (any N).
-      rays: flat ray bundle with leading shape (P,).
-      depth: number of composited layers K (reference default 16,
-        ``__main__.py:70``).
-
-    Returns:
-      (radiance (P, 3), transmittance (P,)) after K layers.
+    Returns ``(t1 (P, K), alpha (P, K), rgb (P, K, 3))`` — misses padded with
+    ``t1 = inf, alpha = 0``. This is the per-shard primitive of the
+    primitive-sharded ring renderer (``parallel/render.py``): K-lists from
+    different shards merge by t1 into exactly the global K-list.
     """
     cov_inv = G.inv_covariance(g.quats, g.scales)  # (N, 3, 3)
 
@@ -91,18 +87,18 @@ def composite_rays(g: G.Gaussians, rays: Rays, depth: int = 16):
 
     # K nearest entry points, ascending t1; invalid sorted to the back.
     neg = jnp.where(valid, -t1, -jnp.inf)
-    k = min(depth, g.num)
-    vals, idx = jax.lax.top_k(neg, k)  # (P, K)
+    kk = min(k, g.num)
+    vals, idx = jax.lax.top_k(neg, kk)  # (P, K')
     valid_k = vals > -jnp.inf
-    t1_k = -vals
+    t1_k = jnp.where(valid_k, -vals, jnp.inf)
     t2_k = jnp.take_along_axis(t2, idx, axis=-1)
 
     # Gather the selected Gaussians' parameters.
-    g_cov_inv = cov_inv[idx]          # (P, K, 3, 3)
-    g_means = g.means[idx]            # (P, K, 3)
+    g_cov_inv = cov_inv[idx]          # (P, K', 3, 3)
+    g_means = g.means[idx]            # (P, K', 3)
     g_colors = g.colors[idx]
     g_opac = g.opacities[idx]
-    g_sh = g.sh[idx]                  # (P, K, 15, 3)
+    g_sh = g.sh[idx]                  # (P, K', 15, 3)
 
     alpha = _safe_midpoint_alpha(
         g_cov_inv, g_means, g_opac,
@@ -112,9 +108,25 @@ def composite_rays(g: G.Gaussians, rays: Rays, depth: int = 16):
     # View-dependent color: base + SH(normalized dir) (``gaussian.py:199-200``).
     dirs = rays.directions / jnp.linalg.norm(
         rays.directions, axis=-1, keepdims=True)
-    rgb = g_colors + G.eval_sh(g_sh, dirs[..., None, :])  # (P, K, 3)
+    rgb = g_colors + G.eval_sh(g_sh, dirs[..., None, :])  # (P, K', 3)
+    rgb = jnp.where(valid_k[..., None], rgb, 0.0)
 
-    # Front-to-back compositing with exclusive cumprod transmittance.
+    if kk < k:  # scene smaller than K: pad the lists
+        pad = k - kk
+        t1_k = jnp.pad(t1_k, ((0, 0),) * (t1_k.ndim - 1) + ((0, pad),),
+                       constant_values=jnp.inf)
+        alpha = jnp.pad(alpha, ((0, 0),) * (alpha.ndim - 1) + ((0, pad),))
+        rgb = jnp.pad(rgb, ((0, 0),) * (rgb.ndim - 2) + ((0, pad), (0, 0)))
+    return t1_k, alpha, rgb
+
+
+def composite_hits(t1, alpha, rgb):
+    """Front-to-back compositing of depth-ascending hit lists
+    (``ray_tracer.py:96-98``): exclusive-cumprod transmittance.
+
+    Returns (radiance (..., 3), transmittance (...,)).
+    """
+    del t1  # order is already ascending; alpha = 0 marks misses
     one_minus = 1.0 - alpha
     # Exclusive cumulative product: T_k = Π_{j<k} (1 − α_j).
     trans = jnp.concatenate(
@@ -123,6 +135,22 @@ def composite_rays(g: G.Gaussians, rays: Rays, depth: int = 16):
     radiance = jnp.sum((trans * alpha)[..., None] * rgb, axis=-2)
     transmittance = jnp.prod(one_minus, axis=-1)
     return radiance, transmittance
+
+
+@partial(jax.jit, static_argnames=("depth",))
+def composite_rays(g: G.Gaussians, rays: Rays, depth: int = 16):
+    """Render a flat bundle of rays against all Gaussians, brute force.
+
+    Args:
+      g: the Gaussian scene (any N).
+      rays: flat ray bundle with leading shape (P,).
+      depth: number of composited layers K (reference default 16,
+        ``__main__.py:70``).
+
+    Returns:
+      (radiance (P, 3), transmittance (P,)) after K layers.
+    """
+    return composite_hits(*topk_hits(g, rays, depth))
 
 
 def render_oracle(g: G.Gaussians, camera: Camera, depth: int = 16,

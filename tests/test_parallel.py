@@ -1,0 +1,115 @@
+"""Multi-device tests on the 8-device virtual CPU mesh: ray sharding,
+primitive ring sharding, and gradient flow through collectives."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rtgs_tpu.parallel.mesh import PRIMS_AXIS, RAYS_AXIS, make_mesh
+from rtgs_tpu.parallel.render import render_sharded, shard_scene
+from rtgs_tpu.rays import new_rays
+from rtgs_tpu.render.oracle import composite_rays
+from rtgs_tpu.scene import pad_scene, random_scene
+
+
+def _rays(n, key):
+    origins = jax.random.uniform(key, (n, 3), minval=-3, maxval=3)
+    dirs = -origins / jnp.linalg.norm(origins, axis=-1, keepdims=True)
+    return new_rays(origins, dirs)
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(4, 2)
+    assert mesh.shape == {RAYS_AXIS: 4, PRIMS_AXIS: 2}
+    mesh = make_mesh(0, 4)
+    assert mesh.shape == {RAYS_AXIS: 2, PRIMS_AXIS: 4}
+    with pytest.raises(ValueError):
+        make_mesh(8, 2)
+
+
+@pytest.mark.parametrize("n_rays,n_prims", [(8, 1), (4, 2), (2, 4), (1, 8)])
+def test_sharded_matches_oracle(key, n_rays, n_prims):
+    """Ring-sharded render == single-device oracle for every mesh shape."""
+    g = random_scene(key, 96, extent=1.0)
+    rays = _rays(64, jax.random.fold_in(key, 1))
+    ref_rad, ref_trans = composite_rays(pad_scene(g, n_prims), rays, depth=8)
+
+    mesh = make_mesh(n_rays, n_prims)
+    gs = shard_scene(g, mesh)
+    rad, trans = render_sharded(gs, rays, 8, mesh)
+    np.testing.assert_allclose(np.asarray(rad), np.asarray(ref_rad),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(trans), np.asarray(ref_trans),
+                               atol=1e-5)
+
+
+def test_sharded_gradients_match(key):
+    """Gradients flow through ppermute ring + merge; match oracle grads."""
+    g = random_scene(key, 48, extent=1.0)
+    rays = _rays(32, jax.random.fold_in(key, 2))
+    mesh = make_mesh(2, 4)
+
+    def loss_sharded(g):
+        rad, _ = render_sharded(g, rays, 8, mesh)
+        return jnp.sum(rad ** 2)
+
+    def loss_ref(g):
+        rad, _ = composite_rays(g, rays, depth=8)
+        return jnp.sum(rad ** 2)
+
+    gp = pad_scene(g, 4)
+    gs = shard_scene(g, mesh)
+    grads_s = jax.grad(loss_sharded)(gs)
+    grads_r = jax.grad(loss_ref)(gp)
+    for name in ["means", "scales", "colors", "opacities", "sh", "quats"]:
+        a = np.asarray(getattr(grads_s, name))
+        b = np.asarray(getattr(grads_r, name))
+        scale = np.abs(b).max() + 1e-8
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-4,
+                                   err_msg=name)
+
+
+def test_sharded_training_step(key):
+    """One full DP+prim-sharded training step: loss decreases over a few
+    iterations on a toy fit."""
+    import optax
+
+    from rtgs_tpu.config import TrainConfig
+    from rtgs_tpu.train.solver import activate, init_params, make_optimizer
+
+    target_scene = random_scene(key, 32, extent=0.8)
+    rays = _rays(64, jax.random.fold_in(key, 3))
+    target, _ = composite_rays(target_scene, rays, depth=8)
+
+    start = random_scene(jax.random.fold_in(key, 4), 32, extent=0.8)
+    params = init_params(start)
+    mask = start.mask
+    mesh = make_mesh(2, 4)
+    cfg = TrainConfig(lr_means=1e-2, lr_quats=1e-2, lr_scales=1e-2,
+                      lr_colors=5e-2, lr_opacities=5e-2)
+    optimizer = make_optimizer(cfg)
+
+    params = jax.tree.map(jnp.asarray, params)
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            g = activate(p, mask)
+            from rtgs_tpu.scene import pad_scene as _pad
+
+            gs = jax.tree.map(lambda x: x, _pad(g, 4))
+            rad, _ = render_sharded(gs, rays, 8, mesh)
+            return jnp.mean((rad - target) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for _ in range(5):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
