@@ -5,9 +5,11 @@ Headline metric (BASELINE.json): forward+backward rays/s on one chip at a
 throughput of ~0.49M full 16-deep rays/s (BASELINE.md — 960×540 @ 15 FPS,
 one peel per frame).
 
-Runs on whatever backend the environment provides (the tunneled TPU chip in
-the driver's bench run). Falls back to smaller configurations rather than
-crashing, and reports which configuration ran in the JSON line.
+Uses the fused Pallas renderer (the production path). The tunneled-TPU
+remote compiler is slow for large XLA graphs, so the harness (a) enables the
+persistent compilation cache, (b) keeps the graph small (binning + kernel),
+and (c) falls back to smaller configurations on failure, reporting which
+configuration ran.
 """
 
 from __future__ import annotations
@@ -52,14 +54,18 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from rtgs_tpu.render.tiled import render_tiled
+    from rtgs_tpu.utils.platform import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from rtgs_tpu.render.tiled import render_tiled_pallas
 
     configs = [
-        dict(n=1_000_000, res=(1920, 1080), depth=16, label="1M@1080p"),
+        dict(n=1_000_000, res=(1920, 1088), depth=16, label="1M@1080p"),
         dict(n=250_000, res=(1280, 720), depth=16, label="250k@720p"),
-        dict(n=50_000, res=(640, 360), depth=16, label="50k@360p"),
+        dict(n=100_000, res=(640, 384), depth=16, label="100k@384p"),
     ]
-    render_kw = dict(tile=(32, 8), max_candidates=512, max_global=64)
+    render_kw = dict(tile=(16, 16), max_candidates=512, max_global=128)
 
     result = None
     for cfg in configs:
@@ -68,21 +74,21 @@ def main():
             rays = cfg["res"][0] * cfg["res"][1]
 
             def fwd():
-                return render_tiled(g, cam, depth=cfg["depth"], **render_kw)
+                return render_tiled_pallas(
+                    g, cam, depth=cfg["depth"], **render_kw)
 
             t_fwd = _time(fwd)
 
-            def loss(gg):
-                return jnp.sum(render_tiled(
-                    gg, cam, depth=cfg["depth"], **render_kw))
+            @jax.jit
+            def grad_fn(gg):
+                def loss(gg):
+                    return jnp.sum(render_tiled_pallas(
+                        gg, cam, depth=cfg["depth"], **render_kw))
 
-            grad_fn = jax.jit(jax.grad(loss))
+                return jax.grad(loss)(gg)
 
             try:
-                def fwd_bwd():
-                    return grad_fn(g)
-
-                t_fwdbwd = _time(fwd_bwd)
+                t_fwdbwd = _time(lambda: grad_fn(g))
                 mode = "fwd+bwd"
                 t = t_fwdbwd
             except Exception as e:
@@ -92,9 +98,9 @@ def main():
 
             value = rays / t
             result = {
-                "metric": f"rays_per_s_{mode}_{cfg['label']}",
+                "metric": "rays_per_s",
                 "value": round(value, 1),
-                "unit": "rays/s",
+                "unit": f"rays/s ({mode}, {cfg['label']}, depth 16, 1 chip)",
                 "vs_baseline": round(value / BASELINE_RAYS_PER_S, 3),
                 "config": cfg["label"],
                 "mode": mode,

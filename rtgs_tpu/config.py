@@ -22,7 +22,7 @@ class RenderConfig:
     sample: int = 1                    # samples (deterministic → identical)
     depth: int = 16                    # composited layers per ray
     renderer: str = "auto"             # auto | oracle | tiled
-    tile: Tuple[int, int] = (32, 8)    # pixel tile (W, H) for the tiled path
+    tile: Tuple[int, int] = (16, 16)    # pixel tile (W, H) for the tiled path
     max_candidates: int = 512          # per-tile candidate list width
 
 

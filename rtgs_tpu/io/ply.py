@@ -95,6 +95,23 @@ def read_ply(path) -> Dict[str, np.ndarray]:
         raw = f.read(count * dtype.itemsize)
         if len(raw) < count * dtype.itemsize:
             raise ValueError("truncated PLY body")
+
+        if endian == "<" and count >= (1 << 15):
+            # Large scene: threaded native deinterleave (C++, io/plyfast.cpp).
+            from rtgs_tpu.io import native
+
+            if native.available():
+                widths, offsets, out_dtypes, off = [], [], [], 0
+                for n, dt in props:
+                    d = np.dtype(dt)
+                    offsets.append(off)
+                    widths.append(d.itemsize)
+                    out_dtypes.append(d)
+                    off += d.itemsize
+                cols = native.deinterleave(
+                    raw, count, dtype.itemsize, offsets, widths, out_dtypes)
+                return dict(zip(names, cols))
+
         rec = np.frombuffer(raw, dtype=dtype, count=count)
         return {n: np.ascontiguousarray(rec[n]) for n in names}
 

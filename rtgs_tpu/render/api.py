@@ -24,7 +24,12 @@ def render(g: G.Gaussians, camera: Camera, depth: int = 16,
            renderer: str = "auto", **kwargs) -> jnp.ndarray:
     """Render a full frame. Returns (W, H, 3) radiance."""
     if renderer == "auto":
-        renderer = "oracle" if g.num <= _ORACLE_MAX_N else "tiled"
+        if g.num <= _ORACLE_MAX_N:
+            renderer = "oracle"
+        else:
+            import jax
+
+            renderer = "pallas" if jax.default_backend() == "tpu" else "tiled"
     if renderer == "oracle":
         from rtgs_tpu.render.oracle import render_oracle
 
@@ -33,4 +38,8 @@ def render(g: G.Gaussians, camera: Camera, depth: int = 16,
         from rtgs_tpu.render.tiled import render_tiled
 
         return render_tiled(g, camera, depth=depth, **kwargs)
+    if renderer == "pallas":
+        from rtgs_tpu.render.tiled import render_tiled_pallas
+
+        return render_tiled_pallas(g, camera, depth=depth, **kwargs)
     raise ValueError(f"unknown renderer {renderer!r}")

@@ -67,20 +67,25 @@ def _camera_space(points: jnp.ndarray, camera: Camera) -> jnp.ndarray:
 def tile_candidates(
     g: G.Gaussians,
     camera: Camera,
-    tile=(32, 8),
+    tile=(16, 16),
     max_candidates: int = 512,
-    max_tiles_local=(4, 4),
-    max_global: int = 64,
+    max_tiles_local=None,
+    max_global: int = 128,
 ) -> TileBinning:
     """Build fixed-width per-tile candidate lists (all on-device, jittable).
 
     Within a tile, candidates are ordered by quantized center depth, so when
     a tile overflows ``max_candidates`` the *farthest* Gaussians drop first.
+    ``max_tiles_local`` defaults to ~128 px of screen coverage per axis;
+    splats projecting wider than that go to the global list (nearest-first).
     """
     w, h = camera.buf_size
     tw, th = tile
     ntx, nty = -(-w // tw), -(-h // th)
     num_tiles = ntx * nty
+    if max_tiles_local is None:
+        max_tiles_local = (min(max(2, -(-128 // tw)), ntx),
+                           min(max(2, -(-128 // th)), nty))
     mtx, mty = max_tiles_local
     n = g.num
 

@@ -160,13 +160,104 @@ def _peel_one_tile(feats: TileFeatures, depth: int, cand, dirs):
     return peel_block(t1, alpha, rgb, depth)
 
 
+def pack_features(feats: TileFeatures) -> jnp.ndarray:
+    """TileFeatures → the (N+1, 64) lane-packed table the Pallas kernel
+    consumes (packing documented in ops/peel.py). Differentiable, so XLA's
+    VJP of this + precompute_features carries kernel feature-gradients back
+    to the scene parameters."""
+    n1 = feats.c0.shape[0]
+    sh = feats.sh  # (N+1, 15, 3)
+    cols = [
+        feats.m6,                        # 0:6
+        feats.me,                        # 6:9
+        feats.c0[:, None],               # 9
+        feats.opacity[:, None],          # 10
+        feats.color,                     # 11:14
+        sh[:, :, 0],                     # 14:29
+        sh[:, :, 1],                     # 29:44
+        sh[:, :, 2],                     # 44:59
+        jnp.zeros((n1, 5), jnp.float32),  # 59:64 pad
+    ]
+    packed = jnp.concatenate(cols, axis=1)
+    # Neutralize the sentinel's inf c0 (guarded in XLA path; the kernel has
+    # no isfinite guard on c0 — a huge finite value keeps Δ < 0).
+    return packed.at[-1, 9].set(1e30)
+
+
+def _tile_pixel_features(camera: Camera, tile):
+    """Per-pixel kernel features arranged (T, P, 24): dir, d-quadratic
+    features, SH basis."""
+    from rtgs_tpu.ops.peel import G_DIM
+
+    w, h = camera.buf_size
+    tw, th = tile
+    ntx, nty = -(-w // tw), -(-h // th)
+    censor = jnp.asarray((w, h), jnp.float32)
+    i = (jnp.arange(ntx * tw, dtype=jnp.float32) + 0.5) / w
+    j = (jnp.arange(nty * th, dtype=jnp.float32) + 0.5) / h
+    uv = jnp.stack(jnp.meshgrid(i, j, indexing="ij"), axis=-1)
+    pxy = (censor * uv - 0.5 * censor) / camera.focal_length
+    d_cam = jnp.concatenate([pxy, -jnp.ones_like(pxy[..., :1])], axis=-1)
+    d_cam = d_cam / jnp.linalg.norm(d_cam, axis=-1, keepdims=True)
+    dirs = quat.rot_vec3(camera.rotation, d_cam)  # (W', H', 3)
+    fd, y = direction_features(dirs)
+    pix = jnp.concatenate([dirs, fd, y], axis=-1)  # (W', H', 24)
+    assert pix.shape[-1] == G_DIM
+    return (
+        pix.reshape(ntx, tw, nty, th, G_DIM)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(ntx * nty, tw * th, G_DIM))
+
+
+@partial(jax.jit, static_argnames=("depth", "tile", "max_candidates",
+                                   "max_global"))
+def render_tiled_pallas(
+    g: G.Gaussians,
+    camera: Camera,
+    depth: int = 16,
+    tile=(16, 16),
+    max_candidates: int = 512,
+    max_global: int = 64,
+):
+    """Full-frame render through the fused Pallas peel kernel
+    (``rtgs_tpu/ops/peel.py``). Same semantics as :func:`render_tiled`;
+    differentiable via the kernel's hand-derived backward."""
+    from rtgs_tpu.ops.peel import peel_pallas
+    from rtgs_tpu.render.binning import tile_candidates
+
+    w, h = camera.buf_size
+    tw, th = tile
+    ntx, nty = -(-w // tw), -(-h // th)
+    num_tiles = ntx * nty
+
+    binning = tile_candidates(
+        g, camera, tile=tile, max_candidates=max_candidates,
+        max_global=max_global)
+    cand = binning.candidates
+    c2 = cand.shape[1]
+    pad_c = (-c2) % 128  # kernel wants the candidate axis lane-aligned
+    if pad_c:
+        cand = jnp.pad(cand, ((0, 0), (0, pad_c)), constant_values=-1)
+
+    packed = pack_features(precompute_features(g, camera))
+    pix = _tile_pixel_features(camera, tile)
+
+    rad, _trans = peel_pallas(packed, cand, pix, depth)  # (T, 3, P)
+    img = (
+        rad.transpose(0, 2, 1)
+        .reshape(ntx, nty, tw, th, 3)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(ntx * tw, nty * th, 3))
+    return img[:w, :h]
+
+
 @partial(jax.jit, static_argnames=("depth", "tile", "max_candidates",
                                    "max_global", "tile_chunk"))
 def render_tiled(
     g: G.Gaussians,
     camera: Camera,
     depth: int = 16,
-    tile=(32, 8),
+    tile=(16, 16),
     max_candidates: int = 512,
     max_global: int = 64,
     tile_chunk: int | None = None,

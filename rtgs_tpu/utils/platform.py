@@ -12,6 +12,24 @@ from __future__ import annotations
 import os
 
 
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Enable JAX's persistent compilation cache. Compiles through the
+    tunneled-TPU remote compiler take minutes; the cache makes repeat runs
+    (tests, benchmarks, the driver's bench pass) start in seconds."""
+    import jax
+
+    path = path or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".jax_cache")
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
+
+
 def force_cpu_devices(count: int = 8) -> None:
     """Switch JAX to the host CPU platform with ``count`` virtual devices.
 
