@@ -61,8 +61,13 @@ def _add_common_flags(p: argparse.ArgumentParser):
                    help="Render sample depth (composited layers).")
     p.add_argument("--scale", type=float, default=1.0,
                    help="Global Gaussian scale.")
-    p.add_argument("--renderer", choices=["auto", "oracle", "tiled"],
+    p.add_argument("--renderer",
+                   choices=["auto", "oracle", "tiled", "pallas"],
                    default="auto")
+    p.add_argument("-v", "--bvh", type=int, default=1024,
+                   help="BVH node budget (reference __main__.py:72-78 "
+                        "parity; the tile-binned pipeline needs no BVH, so "
+                        "this only caps the optional LBVH query structure).")
     p.add_argument("--radius", type=float, default=1.0,
                    help="Orbit camera radius (viewer zoom state).")
     p.add_argument("--theta", type=float, default=0.0)
@@ -150,6 +155,59 @@ def cmd_serve(args):
     serve(g, args)
 
 
+def cmd_fit(args):
+    """Optimize a scene (the reference's stub ``solver.py`` realized).
+
+    Two target sources:
+      * ``--data transforms.json`` — a real multiview dataset;
+      * no ``--data`` — self-supervised: render ground-truth views of the
+        input scene from an orbit and re-fit (the fit-from-scratch
+        benchmark config, BASELINE.json config 4).
+    """
+    import jax.numpy as jnp
+
+    from rtgs_tpu.config import TrainConfig
+    from rtgs_tpu.scene import save_scene
+    from rtgs_tpu.train.datasets import (load_transforms_dataset,
+                                         synthetic_orbit_dataset)
+    from rtgs_tpu.train.solver import (Solver, activate, init_params,
+                                       init_params_from_points)
+
+    g = _load(args)
+    if args.data:
+        ds = load_transforms_dataset(args.data, downscale=args.downscale)
+    else:
+        ds = synthetic_orbit_dataset(
+            g, args.views, args.res, fov=args.fov, radius=args.radius,
+            depth=args.depth, renderer=args.renderer)
+
+    if args.from_scratch:
+        # Random subsample of the input means as the seed point cloud.
+        import numpy as np
+
+        idx = np.random.default_rng(0).choice(
+            g.num, size=min(args.init_points, g.num), replace=False)
+        params = init_params_from_points(
+            None, jnp.asarray(np.asarray(g.means)[idx]),
+            colors=jnp.asarray(np.asarray(g.colors)[idx]))
+        mask = jnp.ones((params.means.shape[0],), jnp.float32)
+    else:
+        params = init_params(g)
+        mask = g.mask
+
+    cfg = TrainConfig(iterations=args.steps,
+                      checkpoint_dir=args.checkpoint_dir or "checkpoints",
+                      checkpoint_every=args.checkpoint_every)
+    solver = Solver(params=params, mask=mask, cfg=cfg,
+                    cameras=list(ds.cameras), targets=list(ds.images),
+                    depth=args.depth, renderer=args.renderer)
+    metrics = solver.train(num_steps=args.steps)
+    out = args.output or (args.open.stem + "_fit.ply")
+    save_scene(out, solver.scene())
+    print(f"fit {args.steps} steps: loss={metrics['loss']:.5f} "
+          f"psnr={metrics['psnr']:.2f} live={solver.num_live} -> {out}")
+
+
 def main(argv=None):
     _setup_logging()
     parser = argparse.ArgumentParser(
@@ -177,6 +235,25 @@ def main(argv=None):
     _add_common_flags(p_serve)
     p_serve.add_argument("--port", type=int, default=8000)
     p_serve.set_defaults(func=cmd_serve)
+
+    p_fit = sub.add_parser(
+        "fit", help="Optimize a scene against multiview targets.")
+    _add_common_flags(p_fit)
+    p_fit.add_argument("--data", type=str, default=None,
+                       help="transforms.json dataset; default: "
+                            "self-supervised orbit renders of the scene.")
+    p_fit.add_argument("--downscale", type=int, default=1)
+    p_fit.add_argument("--views", type=int, default=24,
+                       help="Orbit views for the self-supervised target set.")
+    p_fit.add_argument("--steps", type=int, default=500)
+    p_fit.add_argument("--from-scratch", action="store_true",
+                       help="Re-initialize from a point subsample instead "
+                            "of the loaded parameters.")
+    p_fit.add_argument("--init-points", type=int, default=10_000)
+    p_fit.add_argument("--checkpoint-dir", type=str, default=None)
+    p_fit.add_argument("--checkpoint-every", type=int, default=0)
+    p_fit.add_argument("--output", type=str, default=None)
+    p_fit.set_defaults(func=cmd_fit)
 
     args = parser.parse_args(argv)
     return args.func(args)
