@@ -1,0 +1,69 @@
+"""End-to-end CLI tests (the reference exposes its app surface through
+``__main__``; ours is ``rtgs_tpu.__main__`` with subcommands — render /
+orbit / bench / serve / fit)."""
+
+import pathlib
+
+import jax
+import numpy as np
+import pytest
+
+from rtgs_tpu.__main__ import main
+from rtgs_tpu.scene import load_scene, random_scene, save_scene
+
+
+@pytest.fixture
+def scene_path(tmp_path):
+    g = random_scene(jax.random.PRNGKey(3), 64, extent=0.4)
+    path = tmp_path / "toy.ply"
+    save_scene(path, g)
+    return path
+
+
+def test_cli_render(scene_path, tmp_path, capsys):
+    out = tmp_path / "frame.png"
+    main(["render", "-o", str(scene_path), "-r", "64,48", "-d", "8",
+          "--radius", "2.0", "--renderer", "oracle", "--output", str(out)])
+    assert out.exists()
+    assert "Rendered 64x48" in capsys.readouterr().out
+
+
+def test_cli_orbit(scene_path, tmp_path):
+    outdir = tmp_path / "frames"
+    main(["orbit", "-o", str(scene_path), "-r", "32,24", "-d", "4",
+          "--frames", "2", "--renderer", "oracle", "--output", str(outdir)])
+    assert sorted(p.name for p in outdir.iterdir()) == [
+        "frame_0000.png", "frame_0001.png"]
+
+
+def test_cli_bench(scene_path, capsys):
+    main(["bench", "-o", str(scene_path), "-r", "32,24", "-d", "4",
+          "--renderer", "oracle", "--iters", "2"])
+    assert "rays/s" in capsys.readouterr().out
+
+
+def test_cli_fit_roundtrip(scene_path, tmp_path, capsys):
+    out = tmp_path / "fit.ply"
+    main(["fit", "-o", str(scene_path), "-r", "48,48", "--views", "2",
+          "--steps", "3", "--renderer", "oracle", "--output", str(out)])
+    assert "fit 3 steps" in capsys.readouterr().out
+    g = load_scene(out)
+    assert g.num == 64
+
+
+def test_cli_fit_from_scratch(scene_path, tmp_path):
+    out = tmp_path / "scratch.ply"
+    main(["fit", "-o", str(scene_path), "-r", "32,32", "--views", "2",
+          "--steps", "2", "--renderer", "oracle", "--from-scratch",
+          "--init-points", "16", "--output", str(out)])
+    assert load_scene(out).num == 16
+
+
+def test_cli_flag_parity(scene_path, tmp_path):
+    """The reference's flags (-r/-f/-s/-d/-v/--scale, __main__.py:38-84)
+    all parse."""
+    out = tmp_path / "p.png"
+    main(["render", "-o", str(scene_path), "-r", "32,24", "-f", "90",
+          "-s", "1", "-d", "4", "-v", "1024", "--scale", "1.0",
+          "--renderer", "oracle", "--output", str(out)])
+    assert out.exists()
