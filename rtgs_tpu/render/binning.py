@@ -71,6 +71,7 @@ def tile_candidates(
     max_candidates: int = 512,
     max_tiles_local=None,
     max_global: int = 128,
+    pairs_budget: int | None = None,
 ) -> TileBinning:
     """Build fixed-width per-tile candidate lists (all on-device, jittable).
 
@@ -78,6 +79,14 @@ def tile_candidates(
     a tile overflows ``max_candidates`` the *farthest* Gaussians drop first.
     ``max_tiles_local`` defaults to ~128 px of screen coverage per axis;
     splats projecting wider than that go to the global list (nearest-first).
+
+    ``pairs_budget`` bounds the compacted (tile, splat) pair buffer that
+    feeds the sort. The raw fan-out is N × mtx·mty slots but almost all are
+    dead (a typical splat covers 1-4 tiles), so live pairs are compacted by
+    prefix-sum + scatter first and only the budget is sorted — at 1M splats
+    this shrinks the sort from 64M keys to the budget (default 8N). Pairs
+    beyond the budget are dropped (highest splat indices first) and counted
+    in ``local_overflow``.
     """
     w, h = camera.buf_size
     tw, th = tile
@@ -156,7 +165,23 @@ def tile_candidates(
     vals = jnp.broadcast_to(
         jnp.arange(n, dtype=jnp.int32)[:, None], (n, mtx * mty))
     key_f, val_f = key.reshape(-1), vals.reshape(-1)
-    key_s, val_s = jax.lax.sort((key_f, val_f), num_keys=1)
+
+    # --- Compact live pairs before sorting (prefix-sum stream compaction,
+    # the XLA idiom replacing the reference's atomic counters,
+    # scene.py:267-270). ---
+    if pairs_budget is None:
+        pairs_budget = min(8 * n, key_f.shape[0])
+    pairs_budget = min(pairs_budget, key_f.shape[0])
+    pair_live_f = key_f != _INT32_MAX
+    pos = jnp.cumsum(pair_live_f.astype(jnp.int32)) - 1
+    budget_overflow = jnp.maximum(
+        jnp.sum(pair_live_f.astype(jnp.int32)) - pairs_budget, 0)
+    dst = jnp.where(pair_live_f, pos, pairs_budget)  # dead/over → dropped
+    key_c = jnp.full((pairs_budget,), _INT32_MAX, jnp.int32
+                     ).at[dst].set(key_f, mode="drop")
+    val_c = jnp.full((pairs_budget,), -1, jnp.int32
+                     ).at[dst].set(val_f, mode="drop")
+    key_s, val_s = jax.lax.sort((key_c, val_c), num_keys=1)
 
     total = key_s.shape[0]
     iota = jnp.arange(total, dtype=jnp.int32)
@@ -173,7 +198,8 @@ def tile_candidates(
         jnp.where(pair_live, tile_of, num_tiles),
         slot,
     ].set(val_s, mode="drop")
-    local_overflow = jnp.sum(pair_live & (slot >= max_candidates))
+    local_overflow = (jnp.sum(pair_live & (slot >= max_candidates))
+                      + budget_overflow)
 
     # --- Global list: nearest-first, appended to every tile. ---
     gscore = jnp.where(is_global, -depth, -jnp.inf)

@@ -210,7 +210,8 @@ def _tile_pixel_features(camera: Camera, tile):
 
 
 @partial(jax.jit, static_argnames=("depth", "tile", "max_candidates",
-                                   "max_global"))
+                                   "max_global", "max_tiles_local",
+                                   "pairs_budget"))
 def render_tiled_pallas(
     g: G.Gaussians,
     camera: Camera,
@@ -218,6 +219,8 @@ def render_tiled_pallas(
     tile=(16, 16),
     max_candidates: int = 512,
     max_global: int = 64,
+    max_tiles_local=None,
+    pairs_budget: int | None = None,
 ):
     """Full-frame render through the fused Pallas peel kernel
     (``rtgs_tpu/ops/peel.py``). Same semantics as :func:`render_tiled`;
@@ -232,7 +235,8 @@ def render_tiled_pallas(
 
     binning = tile_candidates(
         g, camera, tile=tile, max_candidates=max_candidates,
-        max_global=max_global)
+        max_global=max_global, max_tiles_local=max_tiles_local,
+        pairs_budget=pairs_budget)
     cand = binning.candidates
     c2 = cand.shape[1]
     pad_c = (-c2) % 128  # kernel wants the candidate axis lane-aligned
@@ -252,7 +256,8 @@ def render_tiled_pallas(
 
 
 @partial(jax.jit, static_argnames=("depth", "tile", "max_candidates",
-                                   "max_global", "tile_chunk"))
+                                   "max_global", "tile_chunk",
+                                   "max_tiles_local", "pairs_budget"))
 def render_tiled(
     g: G.Gaussians,
     camera: Camera,
@@ -261,6 +266,8 @@ def render_tiled(
     max_candidates: int = 512,
     max_global: int = 64,
     tile_chunk: int | None = None,
+    max_tiles_local=None,
+    pairs_budget: int | None = None,
 ):
     """Full-frame tiled render. Returns (W, H, 3) radiance.
 
@@ -276,7 +283,8 @@ def render_tiled(
 
     binning = tile_candidates(
         g, camera, tile=tile, max_candidates=max_candidates,
-        max_global=max_global)
+        max_global=max_global, max_tiles_local=max_tiles_local,
+        pairs_budget=pairs_budget)
     feats = precompute_features(g, camera)
 
     # Pixel ray directions for the padded (ntx·tw, nty·th) grid, arranged

@@ -125,3 +125,18 @@ def test_overflow_counters(key):
     binning = tile_candidates(g, cam, tile=(16, 16), max_candidates=8,
                               max_global=4)
     assert int(binning.local_overflow) > 0 or int(binning.global_overflow) > 0
+
+
+def test_binning_pairs_budget(key):
+    """Compacted pair buffer: a generous budget reproduces the unbudgeted
+    lists exactly; a tiny budget drops pairs and counts them."""
+    g = random_scene(key, 500, extent=1.2)
+    cam = _orbit_cam((64, 64))
+    kw = dict(tile=(16, 16), max_candidates=256, max_global=32)
+    full = tile_candidates(g, cam, pairs_budget=500 * 64, **kw)
+    deft = tile_candidates(g, cam, **kw)
+    assert bool(jnp.all(full.candidates == deft.candidates))
+    assert int(deft.local_overflow) == int(full.local_overflow)
+
+    tiny = tile_candidates(g, cam, pairs_budget=64, **kw)
+    assert int(tiny.local_overflow) > 0
