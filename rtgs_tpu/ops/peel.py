@@ -110,6 +110,19 @@ def _select_first(t1m):
     return (lane == fidx) & jnp.isfinite(m)                       # (P, C)
 
 
+def _data_zeros(x, k):
+    """(P, k) zeros whose Mosaic layout is *derived from data* ``x``
+    ((P, ≥k), non-NaN). Splat-constant (``jnp.zeros``) loop-carry inits are
+    layout-inferred as replicated; when the loop body then yields a
+    non-replicated value, the backedge would need a non-replicated →
+    replicated relayout, which Mosaic rejects ("Invalid relayout:
+    Non-singleton logical dimension is replicated in destination but not in
+    source"). ``min(|x|, 0)`` is exactly 0 for any non-NaN ``x`` (|±inf| →
+    inf → 0) but is not constant-folded, so the carry keeps ``x``'s concrete
+    tiled layout."""
+    return jnp.minimum(jnp.abs(x[:, :k]), 0.0)
+
+
 def _col(x, k):
     """Column ``k`` of (P, K) ``x`` as (P, 1) — Mosaic-safe dynamic read
     (no ``dynamic_slice`` lowering on TPU Pallas)."""
@@ -147,7 +160,7 @@ def _merge_topk(depth, state, chunk):
         t1m = jnp.where(first, jnp.inf, t1m)
         return (t1m,) + tuple(new_outs)
 
-    zeros = [jnp.zeros((p, depth), jnp.float32) for _ in live]
+    zeros = [_data_zeros(x, depth) for x in live]
     carry = jax.lax.fori_loop(0, depth, body, (cat[0],) + tuple(zeros))
     outs = list(carry[1:])
     result = []
@@ -180,9 +193,8 @@ def _composite(depth, alpha_k, r_k, g_k, b_k):
         tr = tr * (1.0 - a)
         return rr, rg, rb, tr
 
-    z = jnp.zeros((p, 1), jnp.float32)
-    return jax.lax.fori_loop(0, depth, body,
-                             (z, z, z, jnp.ones((p, 1), jnp.float32)))
+    z = _data_zeros(alpha_k, 1)
+    return jax.lax.fori_loop(0, depth, body, (z, z, z, z + 1.0))
 
 
 def _fwd_kernel(depth, nc, feats_ref, pix_ref, out_ref,
@@ -238,9 +250,9 @@ def _layer_cotangents(depth, grad_out, alpha_k, r_k, g_k, b_k):
         tks = _setcol(tks, k, tr)
         return tks, tr * (1.0 - a)
 
-    tks, _ = jax.lax.fori_loop(
-        0, depth, fwd_body,
-        (jnp.zeros((p, depth), jnp.float32), jnp.ones((p, 1), jnp.float32)))
+    zk = _data_zeros(alpha_k, depth)
+    z1 = _data_zeros(alpha_k, 1)
+    tks, _ = jax.lax.fori_loop(0, depth, fwd_body, (zk, z1 + 1.0))
 
     # Reverse suffix: U (per channel), V.
     def bwd_body(i, carry):
@@ -264,11 +276,9 @@ def _layer_cotangents(depth, grad_out, alpha_k, r_k, g_k, b_k):
         v = (1.0 - ak) * v
         return ur, ug, ub, v, ga, gwr, gwg, gwb
 
-    z1 = jnp.zeros((p, 1), jnp.float32)
-    zk = jnp.zeros((p, depth), jnp.float32)
     out = jax.lax.fori_loop(
         0, depth, bwd_body,
-        (z1, z1, z1, jnp.ones((p, 1), jnp.float32), zk, zk, zk, zk))
+        (z1, z1, z1, z1 + 1.0, zk, zk, zk, zk))
     return out[4], out[5], out[6], out[7]
 
 
@@ -336,7 +346,7 @@ def _bwd_kernel(depth, nc, feats_ref, pix_ref, grad_out_ref, dfeats_ref,
             gB = gB + onehot * _col(gwb_k, k)
             return gA, gR, gG, gB
 
-        zc = jnp.zeros((p, CHUNK), jnp.float32)
+        zc = _data_zeros(alpha, CHUNK)
         gA, gR, gG, gB = jax.lax.fori_loop(
             0, depth, body, (zc, zc, zc, zc))
 
