@@ -1,124 +1,158 @@
 """Benchmark harness: one JSON line for the driver.
 
 Headline metric (BASELINE.json): forward+backward rays/s on one chip at a
-1M-Gaussian scene, 1080p, depth 16. Baseline: the reference's derived
-throughput of ~0.49M full 16-deep rays/s (BASELINE.md — 960×540 @ 15 FPS,
-one peel per frame).
+1M-Gaussian scene, depth 16. Baseline: the reference's derived throughput of
+~0.49M full 16-deep rays/s (BASELINE.md — 960×540 @ 15 FPS, one peel per
+frame).
 
-Uses the fused Pallas renderer (the production path). The tunneled-TPU
-remote compiler is slow for large XLA graphs, so the harness (a) enables the
-persistent compilation cache, (b) keeps the graph small (binning + kernel),
-and (c) falls back to smaller configurations on failure, reporting which
-configuration ran.
+The tunneled-TPU remote compiler has multi-minute latency *per compile*, so
+the harness is built to always emit a result:
+
+  * configs run smallest-first in a subprocess each, escalating while they
+    succeed; the largest successful config wins,
+  * each subprocess gets a hard wall-clock cap (a hung remote compile
+    cannot otherwise be interrupted),
+  * the persistent compilation cache (.jax_cache) makes warm runs seconds.
+
+Run ``python bench.py --child <idx>`` to execute one config directly.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
 
 BASELINE_RAYS_PER_S = 0.49e6  # reference, full 16-deep rays/s (BASELINE.md)
 
-
-def _build(n_gauss, res, seed=0):
-    import numpy as np
-    import jax
-
-    from rtgs_tpu.camera import camera_from_fov
-    from rtgs_tpu.scene import random_scene
-    from rtgs_tpu.viewer.orbit import orbit_camera_pose
-
-    key = jax.random.PRNGKey(seed)
-    g = random_scene(key, n_gauss, extent=2.0, scale_range=(0.005, 0.03))
-    pos, rot, _, _ = orbit_camera_pose(
-        0.4, 1.2, 5.0, np.zeros(3), np.array([0.0, 0.0, 0.0, 1.0]))
-    cam = camera_from_fov(pos, rot, res, 60.0)
-    return g, cam
+CONFIGS = [
+    dict(n=100_000, res=(640, 384), depth=16, label="100k@384p"),
+    dict(n=250_000, res=(1280, 720), depth=16, label="250k@720p"),
+    dict(n=1_000_000, res=(1920, 1088), depth=16, label="1M@1080p"),
+]
+RENDER_KW = dict(tile=(16, 16), max_candidates=512, max_global=128)
+# Per-config subprocess wall cap. Cold remote compiles take minutes; warm
+# (cached) runs take seconds.
+CHILD_TIMEOUT_S = float(os.environ.get("BENCH_CHILD_TIMEOUT", "1500"))
 
 
-def _time(fn, iters=5):
-    import jax
-
-    jax.block_until_ready(fn())  # compile + warm
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn())
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    return times[len(times) // 2]
+def _log(msg):
+    print(f"# [{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
 
 
-def main():
+def _child(idx: int) -> None:
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from rtgs_tpu.utils.platform import enable_compilation_cache
 
     enable_compilation_cache()
 
+    from rtgs_tpu.camera import camera_from_fov
     from rtgs_tpu.render.tiled import render_tiled_pallas
+    from rtgs_tpu.scene import random_scene
+    from rtgs_tpu.viewer.orbit import orbit_camera_pose
 
-    configs = [
-        dict(n=1_000_000, res=(1920, 1088), depth=16, label="1M@1080p"),
-        dict(n=250_000, res=(1280, 720), depth=16, label="250k@720p"),
-        dict(n=100_000, res=(640, 384), depth=16, label="100k@384p"),
-    ]
-    render_kw = dict(tile=(16, 16), max_candidates=512, max_global=128)
+    cfg = CONFIGS[idx]
+    _log(f"child {cfg['label']}: building scene")
+    key = jax.random.PRNGKey(0)
+    g = random_scene(key, cfg["n"], extent=2.0, scale_range=(0.005, 0.03))
+    jax.block_until_ready(g)
+    pos, rot, _, _ = orbit_camera_pose(
+        0.4, 1.2, 5.0, np.zeros(3), np.array([0.0, 0.0, 0.0, 1.0]))
+    cam = camera_from_fov(pos, rot, cfg["res"], 60.0)
+    rays = cfg["res"][0] * cfg["res"][1]
+    depth = cfg["depth"]
 
-    result = None
-    for cfg in configs:
+    def fwd():
+        return render_tiled_pallas(g, cam, depth=depth, **RENDER_KW)
+
+    def _time(fn, iters=5):
+        _log("compiling/warming")
+        jax.block_until_ready(fn())
+        _log("timing")
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn())
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        return times[len(times) // 2]
+
+    t_fwd = _time(fwd)
+    _log(f"fwd {t_fwd*1e3:.1f} ms ({rays/t_fwd/1e6:.1f} Mrays/s)")
+
+    @jax.jit
+    def grad_fn(gg):
+        def loss(gg):
+            return jnp.sum(render_tiled_pallas(
+                gg, cam, depth=depth, **RENDER_KW))
+
+        return jax.grad(loss)(gg)
+
+    try:
+        t_step = _time(lambda: grad_fn(g))
+        mode = "fwd+bwd"
+    except Exception as e:
+        _log(f"bwd failed ({type(e).__name__}: {e}); reporting fwd only")
+        mode, t_step = "fwd", t_fwd
+
+    value = rays / t_step
+    result = {
+        "metric": "rays_per_s",
+        "value": round(value, 1),
+        "unit": f"rays/s ({mode}, {cfg['label']}, depth {depth}, 1 chip)",
+        "vs_baseline": round(value / BASELINE_RAYS_PER_S, 3),
+        "config": cfg["label"],
+        "mode": mode,
+        "fwd_ms": round(t_fwd * 1e3, 2),
+        "step_ms": round(t_step * 1e3, 2),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result), flush=True)
+
+
+def main() -> None:
+    best = None
+    for idx in range(len(CONFIGS)):
+        label = CONFIGS[idx]["label"]
+        _log(f"running config {label} (cap {CHILD_TIMEOUT_S:.0f}s)")
         try:
-            g, cam = _build(cfg["n"], cfg["res"])
-            rays = cfg["res"][0] * cfg["res"][1]
-
-            def fwd():
-                return render_tiled_pallas(
-                    g, cam, depth=cfg["depth"], **render_kw)
-
-            t_fwd = _time(fwd)
-
-            @jax.jit
-            def grad_fn(gg):
-                def loss(gg):
-                    return jnp.sum(render_tiled_pallas(
-                        gg, cam, depth=cfg["depth"], **render_kw))
-
-                return jax.grad(loss)(gg)
-
-            try:
-                t_fwdbwd = _time(lambda: grad_fn(g))
-                mode = "fwd+bwd"
-                t = t_fwdbwd
-            except Exception as e:
-                print(f"# bwd failed ({type(e).__name__}: {e}); "
-                      "reporting fwd only", file=sys.stderr)
-                mode, t = "fwd", t_fwd
-
-            value = rays / t
-            result = {
-                "metric": "rays_per_s",
-                "value": round(value, 1),
-                "unit": f"rays/s ({mode}, {cfg['label']}, depth 16, 1 chip)",
-                "vs_baseline": round(value / BASELINE_RAYS_PER_S, 3),
-                "config": cfg["label"],
-                "mode": mode,
-                "fwd_ms": round(t_fwd * 1e3, 2),
-                "step_ms": round(t * 1e3, 2),
-                "device": str(jax.devices()[0]),
-            }
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child",
+                 str(idx)],
+                capture_output=True, text=True, timeout=CHILD_TIMEOUT_S)
+        except subprocess.TimeoutExpired:
+            _log(f"config {label} timed out; stopping escalation")
             break
-        except Exception as e:
-            print(f"# config {cfg['label']} failed: "
-                  f"{type(e).__name__}: {e}", file=sys.stderr)
-            continue
-
-    if result is None:
-        result = {"metric": "rays_per_s", "value": 0.0, "unit": "rays/s",
-                  "vs_baseline": 0.0, "error": "all configs failed"}
-    print(json.dumps(result))
+        sys.stderr.write(proc.stderr)
+        parsed = None
+        for line in proc.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    parsed = json.loads(line)
+                except json.JSONDecodeError:
+                    pass
+        if proc.returncode == 0 and parsed is not None:
+            best = parsed
+            _log(f"config {label} ok: {parsed['value']:.3g} {parsed['unit']}")
+        else:
+            _log(f"config {label} failed (rc={proc.returncode}); "
+                 "stopping escalation")
+            break
+    if best is None:
+        best = {"metric": "rays_per_s", "value": 0.0, "unit": "rays/s",
+                "vs_baseline": 0.0, "error": "all configs failed"}
+    print(json.dumps(best))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--child":
+        _child(int(sys.argv[2]))
+    else:
+        main()
