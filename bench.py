@@ -3,16 +3,28 @@
 Headline metric (BASELINE.json): forward+backward rays/s on one chip at a
 1M-Gaussian scene, depth 16. Baseline: the reference's derived throughput of
 ~0.49M full 16-deep rays/s (BASELINE.md — 960×540 @ 15 FPS, one peel per
-frame).
+frame, ``/root/reference/docs/source/get-started.md:74``).
 
 The tunneled-TPU remote compiler has multi-minute latency *per compile*, so
-the harness is built to always emit a result:
+the harness is built to ALWAYS emit a result:
 
   * configs run smallest-first in a subprocess each, escalating while they
     succeed; the largest successful config wins,
+  * the best-so-far JSON line is printed after every config, so even if the
+    whole harness is killed mid-config the last emitted line stands (the
+    round-1 failure mode: an outer timeout at the 1M config yielded no JSON
+    at all),
+  * SIGTERM/SIGINT also flush the best-so-far line before exiting,
   * each subprocess gets a hard wall-clock cap (a hung remote compile
     cannot otherwise be interrupted),
+  * a config that fails with a nonzero exit does not stop escalation (a
+    transient failure should not cap the headline config); a *timeout*
+    does, since the next config would only be slower,
   * the persistent compilation cache (.jax_cache) makes warm runs seconds.
+
+Each child also reports the binning overflow counters for its config — a
+"1M-Gaussian render" that silently drops candidates would otherwise be a
+meaningless number (VERDICT r1 weak #2).
 
 Run ``python bench.py --child <idx>`` to execute one config directly.
 """
@@ -21,6 +33,7 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -37,10 +50,27 @@ RENDER_KW = dict(tile=(16, 16), max_candidates=512, max_global=128)
 # (cached) runs take seconds.
 CHILD_TIMEOUT_S = float(os.environ.get("BENCH_CHILD_TIMEOUT", "1500"))
 
+_best = None
+
 
 def _log(msg):
     print(f"# [{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
           flush=True)
+
+
+def _emit(result):
+    print(json.dumps(result), flush=True)
+
+
+def _emit_best_and_exit(signum, frame):
+    _log(f"signal {signum}: flushing best-so-far result")
+    if _best is not None:
+        _emit(_best)
+    else:
+        _emit({"metric": "rays_per_s", "value": 0.0, "unit": "rays/s",
+               "vs_baseline": 0.0, "error": f"killed by signal {signum} "
+               "before any config finished"})
+    sys.exit(0)
 
 
 def _child(idx: int) -> None:
@@ -53,6 +83,7 @@ def _child(idx: int) -> None:
     enable_compilation_cache()
 
     from rtgs_tpu.camera import camera_from_fov
+    from rtgs_tpu.render.binning import tile_candidates
     from rtgs_tpu.render.tiled import render_tiled_pallas
     from rtgs_tpu.scene import random_scene
     from rtgs_tpu.viewer.orbit import orbit_camera_pose
@@ -67,6 +98,15 @@ def _child(idx: int) -> None:
     cam = camera_from_fov(pos, rot, cfg["res"], 60.0)
     rays = cfg["res"][0] * cfg["res"][1]
     depth = cfg["depth"]
+
+    # Overflow accounting for this exact config (VERDICT r1 weak #2): live
+    # candidate pairs dropped by the per-tile budget or the global list cap.
+    binning = jax.jit(lambda g: tile_candidates(g, cam, **RENDER_KW))(g)
+    local_ovf = int(binning.local_overflow)
+    global_ovf = int(binning.global_overflow)
+    live = int(jnp.sum(binning.candidates >= 0))
+    _log(f"binning: live={live} local_ovf={local_ovf} "
+         f"global_ovf={global_ovf}")
 
     def fwd():
         return render_tiled_pallas(g, cam, depth=depth, **RENDER_KW)
@@ -106,18 +146,27 @@ def _child(idx: int) -> None:
         "metric": "rays_per_s",
         "value": round(value, 1),
         "unit": f"rays/s ({mode}, {cfg['label']}, depth {depth}, 1 chip)",
-        "vs_baseline": round(value / BASELINE_RAYS_PER_S, 3),
+        # The baseline is a fwd+bwd-derived number; a fwd-only run is not
+        # comparable (ADVICE r1) — flag it with a null ratio.
+        "vs_baseline": (round(value / BASELINE_RAYS_PER_S, 3)
+                        if mode == "fwd+bwd" else None),
         "config": cfg["label"],
         "mode": mode,
         "fwd_ms": round(t_fwd * 1e3, 2),
+        "fwd_rays_per_s": round(rays / t_fwd, 1),
         "step_ms": round(t_step * 1e3, 2),
+        "local_overflow": local_ovf,
+        "global_overflow": global_ovf,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result), flush=True)
 
 
 def main() -> None:
-    best = None
+    global _best
+    signal.signal(signal.SIGTERM, _emit_best_and_exit)
+    signal.signal(signal.SIGINT, _emit_best_and_exit)
+
     for idx in range(len(CONFIGS)):
         label = CONFIGS[idx]["label"]
         _log(f"running config {label} (cap {CHILD_TIMEOUT_S:.0f}s)")
@@ -126,7 +175,13 @@ def main() -> None:
                 [sys.executable, os.path.abspath(__file__), "--child",
                  str(idx)],
                 capture_output=True, text=True, timeout=CHILD_TIMEOUT_S)
-        except subprocess.TimeoutExpired:
+        except subprocess.TimeoutExpired as e:
+            # Preserve the child's diagnostics (ADVICE r1) — they say which
+            # stage (scene build / compile / timing) hung.
+            for stream in (e.stderr, e.stdout):
+                if stream:
+                    sys.stderr.write(stream if isinstance(stream, str)
+                                     else stream.decode(errors="replace"))
             _log(f"config {label} timed out; stopping escalation")
             break
         sys.stderr.write(proc.stderr)
@@ -139,16 +194,21 @@ def main() -> None:
                 except json.JSONDecodeError:
                     pass
         if proc.returncode == 0 and parsed is not None:
-            best = parsed
+            _best = parsed
             _log(f"config {label} ok: {parsed['value']:.3g} {parsed['unit']}")
+            # Emit incrementally: if a later, bigger config hangs and the
+            # harness is killed from outside, this line already stands.
+            _emit(_best)
         else:
+            # Nonzero exit (not timeout): likely transient — keep escalating
+            # so a flaky mid-size config can't cap the headline (ADVICE r1).
             _log(f"config {label} failed (rc={proc.returncode}); "
-                 "stopping escalation")
-            break
-    if best is None:
-        best = {"metric": "rays_per_s", "value": 0.0, "unit": "rays/s",
-                "vs_baseline": 0.0, "error": "all configs failed"}
-    print(json.dumps(best))
+                 "continuing to next config")
+    if _best is None:
+        _emit({"metric": "rays_per_s", "value": 0.0, "unit": "rays/s",
+               "vs_baseline": 0.0, "error": "all configs failed"})
+    else:
+        _emit(_best)
 
 
 if __name__ == "__main__":

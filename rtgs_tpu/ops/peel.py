@@ -2,14 +2,37 @@
 
 This is the hot path the BASELINE.json north star names: "per-ray Gaussian
 intersection, depth-ordered hit sorting, and front-to-back alpha compositing
-become fused Pallas kernels with a hand-derived backward pass". The grid is
-``(tiles, candidate-chunks)``: each screen tile streams its candidate list
-through VMEM in chunks of 128, maintaining an exact per-pixel top-K
-(K = ``depth``) nearest-hit state in VMEM scratch — top-K of a union is the
-top-K of (top-K, next chunk), so the result is identical to a global
-depth-peel while VMEM usage stays bounded by the chunk, not the candidate
-count (the reference instead launches one kernel per *layer* and re-traverses
-its BVH each time, ``/root/reference/src/rtgs/ray_tracer.py:50-54``).
+become fused Pallas kernels with a hand-derived backward pass". Each screen
+tile streams its candidate list through VMEM in chunks of 128, maintaining an
+exact per-pixel top-K (K = ``depth``) nearest-hit state in VMEM scratch —
+top-K of a union is the top-K of (top-K, next chunk), so the result is
+identical to a global depth-peel while VMEM usage stays bounded by the chunk,
+not the candidate count (the reference instead launches one kernel per
+*layer* and re-traverses its BVH each time,
+``/root/reference/src/rtgs/ray_tracer.py:50-54``).
+
+Performance architecture (round 2 — the round-1 kernel ran a 2-D
+``(tiles, chunks)`` grid whose ~18k tiny grid steps were dominated by fixed
+per-step cost):
+
+  * The grid is one-dimensional over **blocks of BT tiles** (``parallel`` —
+    tiles are independent). Each block's whole candidate feature array rides
+    in as a single (BT, C, F) VMEM block (Pallas double-buffers it across
+    steps, overlapping the HBM DMA with compute), and the kernel loops over
+    128-wide candidate chunks *internally* with a ``fori_loop`` whose trip
+    count is ``ceil(max-count-in-block / 128)`` from per-block counts passed
+    as **scalar prefetch** — empty tails cost nothing.
+  * Because the binning stage emits candidates sorted by center depth
+    (nearest first, ``rtgs_tpu/render/binning.py``), a chunk can only change
+    the top-K state if some candidate's entry depth beats the current K-th
+    nearest. The kernel computes the cheap quadratic (two small matmuls) for
+    every active chunk but runs the expensive part — the exp/SH shading and
+    the top-K merge — only under an ``any(t1 < kth)`` predicate
+    (``pl.when``). After the state saturates, typical chunks cost two
+    batched (P×6)/(P×3) matmuls and a compare-reduce.
+  * All K-indexed inner loops are Python-unrolled so every column access is
+    a static lane slice (no iota-compare column emulation, no fori-loop
+    relayout hazards); cross-chunk state lives in VMEM scratch.
 
 Feature packing (F = 64 lanes):
   [0:6]   Σ⁻¹ packed sym6 (m00, m01, m02, m11, m12, m22)
@@ -36,20 +59,24 @@ upstream ḡ (radiance) and ḡ_T (transmittance):
 
 both computed by a reverse sweep with the recurrences U = a c + (1−a) U,
 V = (1−a) V — no division by (1−a), so opacity → 1 stays finite. The
-backward grid is ``(tiles, 2·chunks)``: sweep 1 (chunks 0..NC−1) rebuilds
-the final top-K state *with candidate-slot indices*, computes the per-layer
-cotangents via the suffix recurrences, and sweep 2 (chunks NC..2NC−1)
-re-intersects each chunk, masks the layer cotangents onto their owning
-lanes, chains through α = op·exp(B²/4A − (c0+3)) and rgb = color + y·sh,
-and contracts over pixels into the chunk's (128, F) feature-gradient block.
-Per-tile feature gradients are scatter-added over candidates outside the
-kernel, and XLA's VJP of the (differentiable) feature packing carries them
-to the scene parameters.
+backward kernel runs the same 1-D tile-block grid with two internal sweeps:
+sweep 1 rebuilds the final top-K state *with candidate-slot indices* (same
+chunk-skip predicate as the forward), then the per-layer cotangents come
+from the suffix recurrences, and sweep 2 re-intersects each chunk, masks the
+layer cotangents onto their owning lanes, chains through
+α = op·exp(B²/4A − (c0+3)) and rgb = color + y·sh, and contracts over pixels
+into the chunk's (128, F) feature-gradient slice. Sweep 2 skips a chunk
+entirely (its output slice stays zero) unless one of the block's K winning
+slots actually lives in it — with K ≤ 16 winners in depth-sorted candidate
+order, almost every chunk is skipped. Per-tile feature gradients are
+scatter-added over candidates outside the kernel, and XLA's VJP of the
+(differentiable) feature packing carries them to the scene parameters.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -66,385 +93,411 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _intersect(feats, pix):
-    """Shared fwd math: (C, F) × (P, G) → t1, alpha, r, g, b as (P, C)."""
-    d = pix[:, 0:3]          # (P, 3)
-    fd = pix[:, 3:9]         # (P, 6)
-    y = pix[:, 9:24]         # (P, 15)
-    m6 = feats[:, 0:6]       # (C, 6)
-    me = feats[:, 6:9]
-    c0 = feats[:, 9]         # (C,)
-    op = feats[:, 10]
-    col = feats[:, 11:14]
+def _tile_block() -> int:
+    """Tiles per grid step (VMEM-bounded; env-tunable for kbench sweeps)."""
+    return int(os.environ.get("RTGS_TILE_BLOCK", "4"))
 
-    contract = (((1,), (1,)), ((), ()))
+
+def _lane(shape):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
+
+
+def _intersect_t1(feats, pix):
+    """Cheap half of the fwd math: entry depths only.
+
+    feats (B, C, F) × pix (B, P, G) → t1 (B, P, C) (+inf on miss) plus the
+    quadratic pieces (a, b, cq, delta) needed by the shading half.
+    """
+    d = pix[..., 0:3]          # (B, P, 3)
+    fd = pix[..., 3:9]         # (B, P, 6)
+    m6 = feats[..., 0:6]       # (B, C, 6)
+    me = feats[..., 6:9]
+    c0 = feats[..., 9]         # (B, C)
+
+    contract = (((2,), (2,)), ((0,), (0,)))
     a = jax.lax.dot_general(fd, m6, contract,
-                            preferred_element_type=jnp.float32)   # (P, C)
+                            preferred_element_type=jnp.float32)   # (B, P, C)
     b = 2.0 * jax.lax.dot_general(d, me, contract,
                                   preferred_element_type=jnp.float32)
-    cq = c0[None, :]
+    cq = c0[:, None, :]
     delta = b * b - 4.0 * a * cq
     sq = jnp.sqrt(jnp.where(delta > 0, delta, 0.0))
     t1 = (-b - sq) / (2.0 * a)
     valid = (delta >= 0.0) & (t1 > 0.0)
+    t1 = jnp.where(valid, t1, jnp.inf)
+    return t1, a, b, cq, delta
+
+
+def _shade(feats, pix, t1, a, b, cq, delta):
+    """Expensive half: response + view-dependent color.
+
+    α = opacity · exp(B²/4A − (c0+3)) on accepted hits (Δ == 0 accepts with
+    ρ = 0, matching the reference's t2 = inf → midpoint response 0 quirk);
+    rgb = base color + SH basis · coefficients.
+    """
+    y = pix[..., 9:24]         # (B, P, 15)
+    op = feats[..., 10]        # (B, C)
+    col = feats[..., 11:14]    # (B, C, 3)
+
     rho = jnp.where(delta > 0.0,
                     jnp.exp(b * b / (4.0 * a) - (cq + 3.0)), 0.0)
-    alpha = jnp.where(valid, op[None, :] * rho, 0.0)
-    t1 = jnp.where(valid, t1, jnp.inf)
+    alpha = jnp.where(jnp.isfinite(t1), op[:, None, :] * rho, 0.0)
 
+    contract = (((2,), (2,)), ((0,), (0,)))
     rgb = []
     for ch in range(3):
-        sh_ch = feats[:, 14 + 15 * ch: 29 + 15 * ch]  # (C, 15)
-        rgb.append(col[:, ch][None, :] + jax.lax.dot_general(
+        sh_ch = feats[..., 14 + 15 * ch: 29 + 15 * ch]  # (B, C, 15)
+        rgb.append(col[..., ch][:, None, :] + jax.lax.dot_general(
             y, sh_ch, contract, preferred_element_type=jnp.float32))
-    return t1, alpha, rgb[0], rgb[1], rgb[2], a, b, rho
+    return alpha, rgb[0], rgb[1], rgb[2], rho
 
 
-def _select_first(t1m):
-    """Nearest unconsumed candidate per pixel as a one-hot over lanes."""
-    c = t1m.shape[-1]
-    m = jnp.min(t1m, axis=-1, keepdims=True)                      # (P, 1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, t1m.shape, 1)
-    sel = (t1m == m) & jnp.isfinite(m)
-    fidx = jnp.min(jnp.where(sel, lane, c), axis=-1, keepdims=True)
-    return (lane == fidx) & jnp.isfinite(m)                       # (P, C)
-
-
-def _data_zeros(x, k):
-    """(P, k) zeros whose Mosaic layout is *derived from data* ``x``
-    ((P, ≥k), non-NaN). Splat-constant (``jnp.zeros``) loop-carry inits are
-    layout-inferred as replicated; when the loop body then yields a
-    non-replicated value, the backedge would need a non-replicated →
-    replicated relayout, which Mosaic rejects ("Invalid relayout:
-    Non-singleton logical dimension is replicated in destination but not in
-    source"). ``min(|x|, 0)`` is exactly 0 for any non-NaN ``x`` (|±inf| →
-    inf → 0) but is not constant-folded, so the carry keeps ``x``'s concrete
-    tiled layout."""
-    return jnp.minimum(jnp.abs(x[:, :k]), 0.0)
-
-
-def _col(x, k):
-    """Column ``k`` of (P, K) ``x`` as (P, 1) — Mosaic-safe dynamic read
-    (no ``dynamic_slice`` lowering on TPU Pallas)."""
-    kcol = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    return jnp.sum(jnp.where(kcol == k, x, 0.0), axis=-1, keepdims=True)
-
-
-def _setcol(x, k, v):
-    """(P, K) ``x`` with column ``k`` replaced by (P, 1) ``v``."""
-    kcol = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    return jnp.where(kcol == k, v, x)
+def _intersect(feats, pix):
+    """Full fwd math (XLA-path oracle + tests): t1, alpha, r, g, b (B,P,C)."""
+    t1, a, b, cq, delta = _intersect_t1(feats, pix)
+    alpha, r, g, bl, rho = _shade(feats, pix, t1, a, b, cq, delta)
+    return t1, alpha, r, g, bl, a, b, rho
 
 
 def _merge_topk(depth, state, chunk):
-    """Exact top-K merge: ``state`` (tuple of (P, K) arrays, t1 first,
-    sorted ascending) ∪ ``chunk`` (tuple of (P, CHUNK) arrays) → new sorted
-    (P, K) state. Ties break to the lower lane, i.e. earlier candidates
-    first — the same order as a global argmin peel (state lanes come first
-    and hold earlier chunks). Field 0 must be t1; a field may be None to
-    skip (returned as None)."""
-    p = state[0].shape[0]
-    cat = [None if s is None else jnp.concatenate([s, c], axis=-1)
-           for s, c in zip(state, chunk)]
-    live = [x for x in cat if x is not None]
-
-    def body(k, carry):
-        t1m = carry[0]
-        outs = carry[1:]
-        first = _select_first(t1m)
-        new_outs = []
-        for x, o in zip(live, outs):
+    """Exact top-K merge: ``state`` (tuple of (..., K) arrays, t1 first,
+    sorted ascending) ∪ ``chunk`` (tuple of (..., C) arrays) → new sorted
+    (..., K) state tuple. Ties break to the lower lane, i.e. earlier
+    candidates first — the same order as a global argmin peel (state lanes
+    come first and hold earlier chunks). Field 0 must be t1. Fully unrolled
+    over K; empty layers come back with t1 = +inf and 0 in every payload
+    field, so a later merge treats them as vacant and the composite skips
+    them."""
+    cat = [jnp.concatenate([s, c], axis=-1) for s, c in zip(state, chunk)]
+    t1m = cat[0]
+    nlanes = t1m.shape[-1]
+    lane = _lane(t1m.shape)
+    cols = [[] for _ in cat]
+    for _ in range(depth):
+        m = jnp.min(t1m, axis=-1, keepdims=True)            # (..., 1)
+        finite = jnp.isfinite(m)
+        sel = (t1m == m) & finite
+        fidx = jnp.min(jnp.where(sel, lane, nlanes), axis=-1, keepdims=True)
+        first = (lane == fidx) & finite
+        for fi, x in enumerate(cat):
             # where-before-sum (not fw·x) so inf lanes never make 0·inf nan.
             v = jnp.sum(jnp.where(first, x, 0.0), axis=-1, keepdims=True)
-            new_outs.append(_setcol(o, k, v))
+            if fi == 0:
+                v = jnp.where(finite, v, jnp.inf)
+            cols[fi].append(v)
         t1m = jnp.where(first, jnp.inf, t1m)
-        return (t1m,) + tuple(new_outs)
-
-    zeros = [_data_zeros(x, depth) for x in live]
-    carry = jax.lax.fori_loop(0, depth, body, (cat[0],) + tuple(zeros))
-    outs = list(carry[1:])
-    result = []
-    i = 0
-    for x in cat:
-        if x is None:
-            result.append(None)
-            continue
-        result.append(outs[i])
-        i += 1
-    # Empty layers (nothing selected) stored t1 = 0; a real hit always has
-    # t1 > 0, so t1 == 0 ⇔ empty — restore +inf so composite skips them and
-    # a later merge treats them as vacant.
-    t1_out = result[0]
-    result[0] = jnp.where(t1_out > 0.0, t1_out, jnp.inf)
-    return tuple(result)
+    return tuple(jnp.concatenate(c, axis=-1) for c in cols)
 
 
 def _composite(depth, alpha_k, r_k, g_k, b_k):
-    """Front-to-back composite over sorted layers: (P, K) → (P, 1) × 4."""
-    p = alpha_k.shape[0]
-
-    def body(k, carry):
-        rr, rg, rb, tr = carry
-        a = _col(alpha_k, k)
+    """Front-to-back composite over sorted layers: (..., K) → (..., 1) × 4."""
+    shape = alpha_k.shape[:-1] + (1,)
+    rr = jnp.zeros(shape, jnp.float32)
+    rg = jnp.zeros(shape, jnp.float32)
+    rb = jnp.zeros(shape, jnp.float32)
+    tr = jnp.ones(shape, jnp.float32)
+    for k in range(depth):
+        a = alpha_k[..., k:k + 1]
         w = tr * a
-        rr = rr + w * _col(r_k, k)
-        rg = rg + w * _col(g_k, k)
-        rb = rb + w * _col(b_k, k)
+        rr = rr + w * r_k[..., k:k + 1]
+        rg = rg + w * g_k[..., k:k + 1]
+        rb = rb + w * b_k[..., k:k + 1]
         tr = tr * (1.0 - a)
-        return rr, rg, rb, tr
-
-    z = _data_zeros(alpha_k, 1)
-    return jax.lax.fori_loop(0, depth, body, (z, z, z, z + 1.0))
+    return rr, rg, rb, tr
 
 
-def _fwd_kernel(depth, nc, feats_ref, pix_ref, out_ref,
+def _fwd_kernel(depth, bmax_ref, feats_ref, pix_ref, out_ref,
                 s_t1, s_alpha, s_r, s_g, s_b):
     # out rows: 0..2 = rgb radiance, 3 = transmittance (packed in one
-    # (4, P) block — Mosaic requires sublane-dim blocks of 8 or the full
-    # array dim, so a separate (1, P) trans output would not lower).
-    j = pl.program_id(1)
+    # (B, 4, P) block — Mosaic requires sublane-dim blocks of 8 or the full
+    # array dim, so a separate (B, 1, P) trans output would not lower).
+    i = pl.program_id(0)
+    pix = pix_ref[...]                      # (B, P, G)
 
-    @pl.when(j == 0)
-    def _init():
-        s_t1[...] = jnp.full_like(s_t1, jnp.inf)
-        s_alpha[...] = jnp.zeros_like(s_alpha)
-        s_r[...] = jnp.zeros_like(s_r)
-        s_g[...] = jnp.zeros_like(s_g)
-        s_b[...] = jnp.zeros_like(s_b)
+    s_t1[...] = jnp.full_like(s_t1, jnp.inf)
+    s_alpha[...] = jnp.zeros_like(s_alpha)
+    s_r[...] = jnp.zeros_like(s_r)
+    s_g[...] = jnp.zeros_like(s_g)
+    s_b[...] = jnp.zeros_like(s_b)
 
-    feats = feats_ref[0]
-    pix = pix_ref[0]
-    t1, alpha, r, g, b, _, _, _ = _intersect(feats, pix)
+    def chunk_body(c, carry):
+        off = pl.multiple_of(c * CHUNK, CHUNK)
+        feats = feats_ref[:, pl.ds(off, CHUNK), :]   # (B, CHUNK, F)
+        t1, a, b, cq, delta = _intersect_t1(feats, pix)
+        # Worst currently-kept depth; +inf while a pixel's K-list is
+        # unsaturated, so the merge always runs until saturation.
+        kth = s_t1[..., depth - 1:depth]
 
-    nt1, nalpha, nr, ng, nb = _merge_topk(
-        depth,
-        (s_t1[...], s_alpha[...], s_r[...], s_g[...], s_b[...]),
-        (t1, alpha, r, g, b))
-    s_t1[...], s_alpha[...] = nt1, nalpha
-    s_r[...], s_g[...], s_b[...] = nr, ng, nb
+        @pl.when(jnp.any(t1 < kth))
+        def _merge():
+            alpha, r, g, bl, _ = _shade(feats, pix, t1, a, b, cq, delta)
+            nt1, nalpha, nr, ng, nb = _merge_topk(
+                depth,
+                (s_t1[...], s_alpha[...], s_r[...], s_g[...], s_b[...]),
+                (t1, alpha, r, g, bl))
+            s_t1[...], s_alpha[...] = nt1, nalpha
+            s_r[...], s_g[...], s_b[...] = nr, ng, nb
 
-    @pl.when(j == nc - 1)
-    def _emit():
-        rr, rg, rb, tr = _composite(depth, nalpha, nr, ng, nb)
-        out_ref[0, 0, :] = rr[:, 0]
-        out_ref[0, 1, :] = rg[:, 0]
-        out_ref[0, 2, :] = rb[:, 0]
-        out_ref[0, 3, :] = tr[:, 0]
+        return carry
+
+    jax.lax.fori_loop(0, pl.cdiv(bmax_ref[i], CHUNK), chunk_body, 0)
+
+    rr, rg, rb, tr = _composite(
+        depth, s_alpha[...], s_r[...], s_g[...], s_b[...])
+    out_ref[:, 0, :] = rr[..., 0]
+    out_ref[:, 1, :] = rg[..., 0]
+    out_ref[:, 2, :] = rb[..., 0]
+    out_ref[:, 3, :] = tr[..., 0]
 
 
 def _layer_cotangents(depth, grad_out, alpha_k, r_k, g_k, b_k):
     """Per-layer cotangents via the division-free suffix recurrences.
 
-    Returns (grad_a, gw_r, gw_g, gw_b) each (P, K): ∂L/∂αₖ and the
-    color cotangents ḡ_ch · Tₖ aₖ."""
-    p = alpha_k.shape[0]
-    g_r = grad_out[0, :][:, None]   # (P, 1)
-    g_g = grad_out[1, :][:, None]
-    g_b = grad_out[2, :][:, None]
-    g_t = grad_out[3, :][:, None]
+    grad_out (B, 4, P); layer arrays (B, P, K). Returns
+    (grad_a, gw_r, gw_g, gw_b) each (B, P, K): ∂L/∂αₖ and the color
+    cotangents ḡ_ch · Tₖ aₖ."""
+    g_r = grad_out[:, 0, :][..., None]   # (B, P, 1)
+    g_g = grad_out[:, 1, :][..., None]
+    g_b = grad_out[:, 2, :][..., None]
+    g_t = grad_out[:, 3, :][..., None]
 
-    # Forward prefix: T_k (P, K).
-    def fwd_body(k, carry):
-        tks, tr = carry
-        a = _col(alpha_k, k)
-        tks = _setcol(tks, k, tr)
-        return tks, tr * (1.0 - a)
+    ones = jnp.ones(alpha_k.shape[:-1] + (1,), jnp.float32)
 
-    zk = _data_zeros(alpha_k, depth)
-    z1 = _data_zeros(alpha_k, 1)
-    tks, _ = jax.lax.fori_loop(0, depth, fwd_body, (zk, z1 + 1.0))
+    # Forward prefix: T_k per layer.
+    tks = []
+    tr = ones
+    for k in range(depth):
+        tks.append(tr)
+        tr = tr * (1.0 - alpha_k[..., k:k + 1])
 
     # Reverse suffix: U (per channel), V.
-    def bwd_body(i, carry):
-        ur, ug, ub, v, ga, gwr, gwg, gwb = carry
-        k = depth - 1 - i
-        tk = _col(tks, k)
-        ak = _col(alpha_k, k)
-        rk = _col(r_k, k)
-        gk = _col(g_k, k)
-        bk = _col(b_k, k)
-        grad_a = (g_r * tk * (rk - ur) + g_g * tk * (gk - ug)
-                  + g_b * tk * (bk - ub) - g_t * tk * v)
+    z = jnp.zeros_like(ones)
+    ur, ug, ub, v = z, z, z, ones
+    ga = [None] * depth
+    gwr = [None] * depth
+    gwg = [None] * depth
+    gwb = [None] * depth
+    for k in range(depth - 1, -1, -1):
+        tk = tks[k]
+        ak = alpha_k[..., k:k + 1]
+        rk = r_k[..., k:k + 1]
+        gk = g_k[..., k:k + 1]
+        bk = b_k[..., k:k + 1]
+        ga[k] = (g_r * tk * (rk - ur) + g_g * tk * (gk - ug)
+                 + g_b * tk * (bk - ub) - g_t * tk * v)
         w = tk * ak
-        ga = _setcol(ga, k, grad_a)
-        gwr = _setcol(gwr, k, g_r * w)
-        gwg = _setcol(gwg, k, g_g * w)
-        gwb = _setcol(gwb, k, g_b * w)
+        gwr[k] = g_r * w
+        gwg[k] = g_g * w
+        gwb[k] = g_b * w
         ur = ak * rk + (1.0 - ak) * ur
         ug = ak * gk + (1.0 - ak) * ug
         ub = ak * bk + (1.0 - ak) * ub
         v = (1.0 - ak) * v
-        return ur, ug, ub, v, ga, gwr, gwg, gwb
-
-    out = jax.lax.fori_loop(
-        0, depth, bwd_body,
-        (z1, z1, z1, z1 + 1.0, zk, zk, zk, zk))
-    return out[4], out[5], out[6], out[7]
+    return (jnp.concatenate(ga, -1), jnp.concatenate(gwr, -1),
+            jnp.concatenate(gwg, -1), jnp.concatenate(gwb, -1))
 
 
-def _bwd_kernel(depth, nc, feats_ref, pix_ref, grad_out_ref, dfeats_ref,
-                s_t1, s_alpha, s_r, s_g, s_b, s_slot,
-                s_ga, s_gwr, s_gwg, s_gwb):
+def _bwd_kernel(depth, bmax_ref, feats_ref, pix_ref, grad_out_ref,
+                dfeats_ref, s_t1, s_alpha, s_r, s_g, s_b, s_slot):
     # grad_out rows: 0..2 = radiance cotangent, 3 = transmittance cotangent.
-    j = pl.program_id(1)
-    feats = feats_ref[0]
-    pix = pix_ref[0]
-    p = pix.shape[0]
-    chunk_idx = jnp.where(j < nc, j, j - nc)
+    i = pl.program_id(0)
+    pix = pix_ref[...]                      # (B, P, G)
+    nc = pl.cdiv(bmax_ref[i], CHUNK)
 
-    t1, alpha, r, g, b, a_quad, b_quad, rho = _intersect(feats, pix)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (p, CHUNK), 1)
-    gslot = (lane + chunk_idx * CHUNK).astype(jnp.float32)
+    s_t1[...] = jnp.full_like(s_t1, jnp.inf)
+    s_alpha[...] = jnp.zeros_like(s_alpha)
+    s_r[...] = jnp.zeros_like(s_r)
+    s_g[...] = jnp.zeros_like(s_g)
+    s_b[...] = jnp.zeros_like(s_b)
+    s_slot[...] = jnp.full_like(s_slot, -1.0)
 
-    # ---- Sweep 1 (j < nc): rebuild the top-K state, with slot indices. ----
-    @pl.when(j == 0)
-    def _init():
-        s_t1[...] = jnp.full_like(s_t1, jnp.inf)
-        s_alpha[...] = jnp.zeros_like(s_alpha)
-        s_r[...] = jnp.zeros_like(s_r)
-        s_g[...] = jnp.zeros_like(s_g)
-        s_b[...] = jnp.zeros_like(s_b)
-        s_slot[...] = jnp.full_like(s_slot, -1.0)
+    # ---- Sweep 1: rebuild the top-K state, with candidate-slot indices. ----
+    def sweep1(c, carry):
+        off = pl.multiple_of(c * CHUNK, CHUNK)
+        feats = feats_ref[:, pl.ds(off, CHUNK), :]
+        t1, a, b, cq, delta = _intersect_t1(feats, pix)
+        kth = s_t1[..., depth - 1:depth]
 
-    @pl.when(j < nc)
-    def _sweep1():
-        nt1, nalpha, nr, ng, nb, nslot = _merge_topk(
-            depth,
-            (s_t1[...], s_alpha[...], s_r[...], s_g[...], s_b[...],
-             s_slot[...]),
-            (t1, alpha, r, g, b, gslot))
-        # Empty layers got slot 0 from the masked sum; mark them -1 so no
-        # lane claims their (zero) cotangent in sweep 2.
-        nslot = jnp.where(jnp.isfinite(nt1), nslot, -1.0)
-        s_t1[...], s_alpha[...] = nt1, nalpha
-        s_r[...], s_g[...], s_b[...] = nr, ng, nb
-        s_slot[...] = nslot
+        @pl.when(jnp.any(t1 < kth))
+        def _merge():
+            alpha, r, g, bl, _ = _shade(feats, pix, t1, a, b, cq, delta)
+            gslot = (_lane(t1.shape) + c * CHUNK).astype(jnp.float32)
+            nt1, nalpha, nr, ng, nb, nslot = _merge_topk(
+                depth,
+                (s_t1[...], s_alpha[...], s_r[...], s_g[...], s_b[...],
+                 s_slot[...]),
+                (t1, alpha, r, g, bl, gslot))
+            # Empty layers got slot 0 from the masked sum; mark them -1 so
+            # no lane claims their (zero) cotangent in sweep 2.
+            nslot = jnp.where(jnp.isfinite(nt1), nslot, -1.0)
+            s_t1[...], s_alpha[...] = nt1, nalpha
+            s_r[...], s_g[...], s_b[...] = nr, ng, nb
+            s_slot[...] = nslot
 
-    @pl.when(j == nc - 1)
-    def _cotangents():
-        ga, gwr, gwg, gwb = _layer_cotangents(
-            depth, grad_out_ref[0], s_alpha[...], s_r[...], s_g[...],
-            s_b[...])
-        s_ga[...], s_gwr[...] = ga, gwr
-        s_gwg[...], s_gwb[...] = gwg, gwb
+        return carry
 
-    # ---- Sweep 2 (j >= nc): mask cotangents onto lanes, chain, contract.
-    @pl.when(j >= nc)
-    def _sweep2():
-        slot_k = s_slot[...]
-        ga_k, gwr_k = s_ga[...], s_gwr[...]
-        gwg_k, gwb_k = s_gwg[...], s_gwb[...]
+    jax.lax.fori_loop(0, nc, sweep1, 0)
 
-        def body(k, carry):
-            gA, gR, gG, gB = carry
-            # Empty layers have slot −1, matching no lane.
-            sk = _col(slot_k, k)
-            onehot = (gslot == sk).astype(jnp.float32)  # (P, CHUNK)
-            gA = gA + onehot * _col(ga_k, k)
-            gR = gR + onehot * _col(gwr_k, k)
-            gG = gG + onehot * _col(gwg_k, k)
-            gB = gB + onehot * _col(gwb_k, k)
-            return gA, gR, gG, gB
+    ga_k, gwr_k, gwg_k, gwb_k = _layer_cotangents(
+        depth, grad_out_ref[...], s_alpha[...], s_r[...], s_g[...], s_b[...])
+    slot_k = s_slot[...]                     # (B, P, K)
 
-        zc = _data_zeros(alpha, CHUNK)
-        gA, gR, gG, gB = jax.lax.fori_loop(
-            0, depth, body, (zc, zc, zc, zc))
+    # ---- Sweep 2: chain cotangents into per-candidate feature grads. ----
+    dfeats_ref[...] = jnp.zeros_like(dfeats_ref)
 
-        # Chain α = op·ρ, ρ = exp(B²/4A − (c0+3)), rgb = col + y·sh.
-        d = pix[:, 0:3]
-        fd = pix[:, 3:9]
-        y = pix[:, 9:24]
-        dA = gA * alpha * (-(b_quad * b_quad) / (4.0 * a_quad * a_quad))
-        dB = gA * alpha * (b_quad / (2.0 * a_quad))
-        dC0 = -gA * alpha
-        # ∂α/∂op = ρ on accepted hits (mask by acceptance, not α > 0, so
-        # gradient can still revive a low-opacity Gaussian).
-        dOp = gA * rho * jnp.isfinite(t1).astype(jnp.float32)
+    def sweep2(c, carry):
+        lo = (c * CHUNK).astype(jnp.float32)
+        hi = lo + CHUNK
+        # Does any winning layer live in this chunk? (slot is -1 for empty
+        # layers, matching no chunk.)
+        has = jnp.any((slot_k >= lo) & (slot_k < hi))
 
-        contract_t = (((0,), (0,)), ((), ()))  # contract over P
-        dm6 = jax.lax.dot_general(dA, fd, contract_t,
-                                  preferred_element_type=jnp.float32)
-        dme = 2.0 * jax.lax.dot_general(dB, d, contract_t,
+        @pl.when(has)
+        def _compute():
+            off = pl.multiple_of(c * CHUNK, CHUNK)
+            feats = feats_ref[:, pl.ds(off, CHUNK), :]
+            t1, a_quad, b_quad, cq, delta = _intersect_t1(feats, pix)
+            alpha, r, g, bl, rho = _shade(
+                feats, pix, t1, a_quad, b_quad, cq, delta)
+            gslot = (_lane(t1.shape) + c * CHUNK).astype(jnp.float32)
+
+            zc = jnp.zeros_like(t1)
+            gA, gR, gG, gB = zc, zc, zc, zc
+            for k in range(depth):
+                sk = slot_k[..., k:k + 1]
+                onehot = gslot == sk            # ≤1 lane per pixel
+                gA = gA + jnp.where(onehot, ga_k[..., k:k + 1], 0.0)
+                gR = gR + jnp.where(onehot, gwr_k[..., k:k + 1], 0.0)
+                gG = gG + jnp.where(onehot, gwg_k[..., k:k + 1], 0.0)
+                gB = gB + jnp.where(onehot, gwb_k[..., k:k + 1], 0.0)
+
+            # Chain α = op·ρ, ρ = exp(B²/4A − (c0+3)), rgb = col + y·sh.
+            d = pix[..., 0:3]
+            fd = pix[..., 3:9]
+            y = pix[..., 9:24]
+            dA = gA * alpha * (-(b_quad * b_quad)
+                               / (4.0 * a_quad * a_quad))
+            dB = gA * alpha * (b_quad / (2.0 * a_quad))
+            dC0 = -gA * alpha
+            # ∂α/∂op = ρ on accepted hits (mask by acceptance, not α > 0, so
+            # gradient can still revive a low-opacity Gaussian).
+            dOp = gA * rho * jnp.isfinite(t1).astype(jnp.float32)
+
+            # Contract over pixels (dim 1), batched over tiles (dim 0).
+            ct = (((1,), (1,)), ((0,), (0,)))
+            dm6 = jax.lax.dot_general(dA, fd, ct,
+                                      preferred_element_type=jnp.float32)
+            dme = 2.0 * jax.lax.dot_general(
+                dB, d, ct, preferred_element_type=jnp.float32)
+            dsh_r = jax.lax.dot_general(gR, y, ct,
                                         preferred_element_type=jnp.float32)
-        dsh_r = jax.lax.dot_general(gR, y, contract_t,
-                                    preferred_element_type=jnp.float32)
-        dsh_g = jax.lax.dot_general(gG, y, contract_t,
-                                    preferred_element_type=jnp.float32)
-        dsh_b = jax.lax.dot_general(gB, y, contract_t,
-                                    preferred_element_type=jnp.float32)
+            dsh_g = jax.lax.dot_general(gG, y, ct,
+                                        preferred_element_type=jnp.float32)
+            dsh_b = jax.lax.dot_general(gB, y, ct,
+                                        preferred_element_type=jnp.float32)
+            dblock = jnp.concatenate([
+                dm6,                                   # 0:6
+                dme,                                   # 6:9
+                jnp.sum(dC0, axis=1)[..., None],       # 9
+                jnp.sum(dOp, axis=1)[..., None],       # 10
+                jnp.sum(gR, axis=1)[..., None],        # 11
+                jnp.sum(gG, axis=1)[..., None],        # 12
+                jnp.sum(gB, axis=1)[..., None],        # 13
+                dsh_r, dsh_g, dsh_b,                   # 14:59
+                jnp.zeros(dm6.shape[:-1] + (5,), jnp.float32),  # 59:64
+            ], axis=-1)                                # (B, CHUNK, F)
+            dfeats_ref[:, pl.ds(off, CHUNK), :] = dblock
 
-        dfeats_ref[0, :, 0:6] = dm6
-        dfeats_ref[0, :, 6:9] = dme
-        dfeats_ref[0, :, 9] = jnp.sum(dC0, axis=0)
-        dfeats_ref[0, :, 10] = jnp.sum(dOp, axis=0)
-        dfeats_ref[0, :, 11] = jnp.sum(gR, axis=0)
-        dfeats_ref[0, :, 12] = jnp.sum(gG, axis=0)
-        dfeats_ref[0, :, 13] = jnp.sum(gB, axis=0)
-        dfeats_ref[0, :, 14:29] = dsh_r
-        dfeats_ref[0, :, 29:44] = dsh_g
-        dfeats_ref[0, :, 44:59] = dsh_b
-        dfeats_ref[0, :, 59:64] = jnp.zeros((CHUNK, 5), jnp.float32)
+        return carry
+
+    jax.lax.fori_loop(0, nc, sweep2, 0)
 
 
-def _pallas_fwd(gathered, pix, depth: int):
+def _counts(candidates):
+    """Per-tile candidate count = last valid slot + 1 (robust to interior
+    -1 gaps; the binning stage emits contiguous prefixes so this is tight)."""
+    t, c = candidates.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (t, c), 1)
+    return jnp.max(jnp.where(candidates >= 0, lane + 1, 0), axis=1)
+
+
+def _block_pad(gathered, counts, pix, *extra):
+    """Pad the tile axis to a multiple of the tile block; return per-block
+    max counts (the internal chunk-loop trip count)."""
+    t = gathered.shape[0]
+    bt = max(1, min(_tile_block(), t))
+    nb = -(-t // bt)
+    pad = nb * bt - t
+    if pad:
+        gathered = jnp.pad(gathered, ((0, pad),) + ((0, 0),) * 2)
+        pix = jnp.pad(pix, ((0, pad),) + ((0, 0),) * 2)
+        counts = jnp.pad(counts, (0, pad))
+        extra = tuple(jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+                      for x in extra)
+    bmax = jnp.max(counts.reshape(nb, bt), axis=1)
+    return gathered, bmax, pix, bt, nb, extra
+
+
+def _pallas_fwd(gathered, counts, pix, depth: int):
     t, c, f = gathered.shape
     assert c % CHUNK == 0, c
-    nc = c // CHUNK
     p = pix.shape[1]
-    out = pl.pallas_call(
-        functools.partial(_fwd_kernel, depth, nc),
-        grid=(t, nc),
+    gathered, bmax, pix, bt, nb, _ = _block_pad(gathered, counts, pix)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
         in_specs=[
-            pl.BlockSpec((1, CHUNK, f), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, p, G_DIM), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, c, f), lambda i, bmax_ref: (i, 0, 0)),
+            pl.BlockSpec((bt, p, G_DIM), lambda i, bmax_ref: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 4, p), lambda i, j: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t, 4, p), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((p, depth), jnp.float32)
+        out_specs=pl.BlockSpec((bt, 4, p), lambda i, bmax_ref: (i, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((bt, p, depth), jnp.float32)
                         for _ in range(5)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, depth),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb * bt, 4, p), jnp.float32),
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("parallel",),
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(gathered, pix)
+    )(bmax, gathered, pix)
+    out = out[:t]
     return out[:, 0:3, :], out[:, 3, :]
 
 
-def _pallas_bwd(gathered, pix, grad_rad, grad_trans, depth: int):
+def _pallas_bwd(gathered, counts, pix, grad_rad, grad_trans, depth: int):
     t, c, f = gathered.shape
     assert c % CHUNK == 0, c
-    nc = c // CHUNK
     p = pix.shape[1]
     grad_out = jnp.concatenate([grad_rad, grad_trans[:, None, :]], axis=1)
-    dfeats = pl.pallas_call(
-        functools.partial(_bwd_kernel, depth, nc),
-        grid=(t, 2 * nc),
+    gathered, bmax, pix, bt, nb, (grad_out,) = _block_pad(
+        gathered, counts, pix, grad_out)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
         in_specs=[
-            pl.BlockSpec(
-                (1, CHUNK, f),
-                lambda i, j: (i, jnp.where(j < nc, j, j - nc), 0),
-                memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, p, G_DIM), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, p), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, c, f), lambda i, bmax_ref: (i, 0, 0)),
+            pl.BlockSpec((bt, p, G_DIM), lambda i, bmax_ref: (i, 0, 0)),
+            pl.BlockSpec((bt, 4, p), lambda i, bmax_ref: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec(
-            (1, CHUNK, f),
-            lambda i, j: (i, jnp.maximum(j - nc, 0), 0),
-            memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t, c, f), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((p, depth), jnp.float32)
-                        for _ in range(10)],
+        out_specs=pl.BlockSpec((bt, c, f), lambda i, bmax_ref: (i, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((bt, p, depth), jnp.float32)
+                        for _ in range(6)],
+    )
+    dfeats = pl.pallas_call(
+        functools.partial(_bwd_kernel, depth),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb * bt, c, f), jnp.float32),
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("parallel",),
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(gathered, pix, grad_out)
-    return dfeats
+    )(bmax, gathered, pix, grad_out)
+    return dfeats[:t]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -456,7 +509,9 @@ def peel_pallas(packed_feats: jnp.ndarray, candidates: jnp.ndarray,
     Args:
       packed_feats: (N+1, 64) per-Gaussian features (row N = sentinel).
       candidates: (T, C) int32 candidate indices, -1 padded; C must be a
-        multiple of 128.
+        multiple of 128. Valid indices should form a contiguous prefix per
+        tile (the binning stage guarantees it); interior -1s are correct but
+        forfeit the chunk-skip speedup past them.
       pix_feats: (T, P, 24) per-pixel features; P a multiple of 8.
       depth: composited layers K.
 
@@ -475,7 +530,7 @@ def _gather(packed_feats, candidates):
 
 def _peel_fwd_impl(packed_feats, candidates, pix_feats, depth):
     gathered, _ = _gather(packed_feats, candidates)
-    return _pallas_fwd(gathered, pix_feats, depth)
+    return _pallas_fwd(gathered, _counts(candidates), pix_feats, depth)
 
 
 def _peel_fwd_rule(packed_feats, candidates, pix_feats, depth):
@@ -488,7 +543,8 @@ def _peel_bwd_rule(depth, residuals, grads):
     grad_rad, grad_trans = grads
     gathered, safe = _gather(packed_feats, candidates)
     dfeats_tiles = _pallas_bwd(
-        gathered, pix_feats, grad_rad, grad_trans, depth)  # (T, C, F)
+        gathered, _counts(candidates), pix_feats, grad_rad, grad_trans,
+        depth)  # (T, C, F)
     # Scatter-add per-candidate grads back to the (N+1, F) table; the
     # sentinel row absorbs padding grads (all zeros anyway).
     dpacked = jnp.zeros_like(packed_feats).at[safe.reshape(-1)].add(
@@ -501,32 +557,35 @@ peel_pallas.defvjp(_peel_fwd_rule, _peel_bwd_rule)
 
 def peel_reference(packed_feats, candidates, pix_feats, depth: int):
     """Pure-XLA execution of the *identical* kernel math (same `_intersect`,
-    same selection order), vmapped over tiles. Used by tests as the autodiff
+    same selection order), batched over tiles. Used by tests as the autodiff
     oracle for the hand-written backward, and as a CPU fallback."""
     gathered, _ = _gather(packed_feats, candidates)
+    t1, alpha, r, g, b, _, _, _ = _intersect(gathered, pix_feats)
+    nlanes = t1.shape[-1]
+    lane = _lane(t1.shape)
 
-    def one_tile(feats, pix):
-        t1, alpha, r, g, b, _, _, _ = _intersect(feats, pix)
-        p = t1.shape[0]
+    def body(_, carry):
+        t1m, rr, rg, rb, tr = carry
+        m = jnp.min(t1m, axis=-1, keepdims=True)
+        finite = jnp.isfinite(m)
+        sel = (t1m == m) & finite
+        fidx = jnp.min(jnp.where(sel, lane, nlanes), axis=-1,
+                       keepdims=True)
+        first = ((lane == fidx) & finite).astype(t1m.dtype)
+        a_s = jnp.sum(first * alpha, -1, keepdims=True)
+        r_s = jnp.sum(first * r, -1, keepdims=True)
+        g_s = jnp.sum(first * g, -1, keepdims=True)
+        b_s = jnp.sum(first * b, -1, keepdims=True)
+        w = tr * a_s
+        rr, rg, rb = rr + w * r_s, rg + w * g_s, rb + w * b_s
+        tr = tr * (1.0 - a_s)
+        t1m = jnp.where(first > 0, jnp.inf, t1m)
+        return t1m, rr, rg, rb, tr
 
-        def body(_, carry):
-            t1m, rr, rg, rb, tr = carry
-            first = _select_first(t1m).astype(t1m.dtype)
-            a_s = jnp.sum(first * alpha, -1, keepdims=True)
-            r_s = jnp.sum(first * r, -1, keepdims=True)
-            g_s = jnp.sum(first * g, -1, keepdims=True)
-            b_s = jnp.sum(first * b, -1, keepdims=True)
-            w = tr * a_s
-            rr, rg, rb = rr + w * r_s, rg + w * g_s, rb + w * b_s
-            tr = tr * (1.0 - a_s)
-            t1m = jnp.where(first > 0, jnp.inf, t1m)
-            return t1m, rr, rg, rb, tr
-
-        zeros = jnp.zeros((p, 1), jnp.float32)
-        ones = jnp.ones((p, 1), jnp.float32)
-        _, rr, rg, rb, tr = jax.lax.fori_loop(
-            0, depth, body, (t1, zeros, zeros, zeros, ones))
-        rad = jnp.concatenate([rr, rg, rb], axis=-1).T  # (3, P)
-        return rad, tr[:, 0]
-
-    return jax.vmap(one_tile)(gathered, pix_feats)
+    shape = t1.shape[:-1] + (1,)
+    zeros = jnp.zeros(shape, jnp.float32)
+    ones = jnp.ones(shape, jnp.float32)
+    _, rr, rg, rb, tr = jax.lax.fori_loop(
+        0, depth, body, (t1, zeros, zeros, zeros, ones))
+    rad = jnp.concatenate([rr, rg, rb], axis=-1)       # (T, P, 3)
+    return rad.transpose(0, 2, 1), tr[..., 0]          # (T, 3, P), (T, P)

@@ -56,6 +56,7 @@ class TileBinning(NamedTuple):
     n_tiles_y: int
     local_overflow: jnp.ndarray
     global_overflow: jnp.ndarray
+    counts: jnp.ndarray
 
 
 def _camera_space(points: jnp.ndarray, camera: Camera) -> jnp.ndarray:
@@ -201,14 +202,30 @@ def tile_candidates(
     local_overflow = (jnp.sum(pair_live & (slot >= max_candidates))
                       + budget_overflow)
 
-    # --- Global list: nearest-first, appended to every tile. ---
+    # --- Global list: nearest-first, appended to every tile directly after
+    # its local candidates so valid indices form a contiguous prefix (the
+    # Pallas kernel's chunk skipping keys off the per-tile count). ---
     gscore = jnp.where(is_global, -depth, -jnp.inf)
     gvals, gidx = jax.lax.top_k(gscore, max_global)
     glob = jnp.where(gvals > -jnp.inf, gidx.astype(jnp.int32), -1)
+    n_glob = jnp.sum(glob >= 0).astype(jnp.int32)
     global_overflow = jnp.maximum(
         jnp.sum(is_global) - max_global, 0)
 
+    total_c = max_candidates + max_global
+    count_local = jnp.sum(cands >= 0, axis=1).astype(jnp.int32)  # (T,)
     candidates = jnp.concatenate(
-        [cands, jnp.broadcast_to(glob[None, :], (num_tiles, max_global))],
-        axis=1)
-    return TileBinning(candidates, ntx, nty, local_overflow, global_overflow)
+        [cands, jnp.full((num_tiles, max_global), -1, jnp.int32)], axis=1)
+    if max_global > 0:
+        gcol = count_local[:, None] + jnp.arange(max_global,
+                                                 dtype=jnp.int32)[None, :]
+        gcol = jnp.where(glob[None, :] >= 0, gcol, total_c)  # drop invalid
+        grow = jnp.broadcast_to(
+            jnp.arange(num_tiles, dtype=jnp.int32)[:, None],
+            (num_tiles, max_global))
+        candidates = candidates.at[grow, gcol].set(
+            jnp.broadcast_to(glob[None, :], (num_tiles, max_global)),
+            mode="drop")
+    counts = count_local + n_glob
+    return TileBinning(candidates, ntx, nty, local_overflow, global_overflow,
+                       counts)
