@@ -74,6 +74,25 @@ def _add_common_flags(p: argparse.ArgumentParser):
     p.add_argument("--phi", type=float, default=None,
                    help="Orbit polar angle (default π/2).")
 
+    def _mesh(s: str):
+        parts = s.split(",")
+        if len(parts) != 2:
+            raise argparse.ArgumentTypeError(
+                f"--mesh wants rays,prims (e.g. 4,2), got {s!r}")
+        return (int(parts[0]), int(parts[1]))
+
+    p.add_argument("--mesh", type=_mesh, default=(1, 1),
+                   help="Device mesh rays,prims (e.g. 4,2). Anything other "
+                        "than 1,1 renders through the sharded production "
+                        "path (ppermute ring over prim shards).")
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="Multi-host: coordinator address host:port "
+                        "(jax.distributed.initialize).")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="Multi-host: total process count.")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="Multi-host: this process's rank.")
+
 
 def _load(args):
     from rtgs_tpu.scene import load_scene
@@ -93,7 +112,24 @@ def _camera(args, theta, phi, r):
     return camera_from_fov(pos, rot, args.res, args.fov)
 
 
+def _maybe_init_distributed(args):
+    if (getattr(args, "coordinator", None)
+            or getattr(args, "num_processes", None) is not None):
+        from rtgs_tpu.parallel.mesh import initialize_distributed
+
+        initialize_distributed(args.coordinator, args.num_processes,
+                               args.process_id)
+
+
 def _render(g, cam, args):
+    if getattr(args, "mesh", (1, 1)) != (1, 1):
+        from rtgs_tpu.parallel.mesh import make_mesh
+        from rtgs_tpu.parallel.render import render_tiled_sharded, shard_scene
+
+        mesh = make_mesh(*args.mesh)
+        return render_tiled_sharded(
+            shard_scene(g, mesh), cam, mesh, depth=args.depth)
+
     from rtgs_tpu.render.api import render
 
     return render(g, cam, depth=args.depth, renderer=args.renderer)
@@ -256,6 +292,7 @@ def main(argv=None):
     p_fit.set_defaults(func=cmd_fit)
 
     args = parser.parse_args(argv)
+    _maybe_init_distributed(args)
     return args.func(args)
 
 

@@ -413,6 +413,265 @@ def _bwd_kernel(depth, bmax_ref, feats_ref, pix_ref, grad_out_ref,
     jax.lax.fori_loop(0, nc, sweep2, 0)
 
 
+def _fwd_topk_kernel(depth, bmax_ref, feats_ref, pix_ref, out_ref,
+                     s_t1, s_alpha, s_r, s_g, s_b):
+    """Forward that emits the top-K layer state instead of compositing.
+
+    out lanes: [0:K] t1, [K:2K] alpha, [2K:3K] r, [3K:4K] g, [4K:5K] b —
+    per pixel, depth-ascending. This is the per-shard primitive of the
+    primitive-sharded ring renderer: K-lists from different shards merge by
+    t1 into exactly the global K-list (SURVEY.md §5 long-axis equivalent).
+    """
+    i = pl.program_id(0)
+    pix = pix_ref[...]
+
+    s_t1[...] = jnp.full_like(s_t1, jnp.inf)
+    s_alpha[...] = jnp.zeros_like(s_alpha)
+    s_r[...] = jnp.zeros_like(s_r)
+    s_g[...] = jnp.zeros_like(s_g)
+    s_b[...] = jnp.zeros_like(s_b)
+
+    def chunk_body(c, carry):
+        off = pl.multiple_of(c * CHUNK, CHUNK)
+        feats = feats_ref[:, pl.ds(off, CHUNK), :]
+        t1, a, b, cq, delta = _intersect_t1(feats, pix)
+        kth = s_t1[..., depth - 1:depth]
+
+        @pl.when(jnp.any(t1 < kth))
+        def _merge():
+            alpha, r, g, bl, _ = _shade(feats, pix, t1, a, b, cq, delta)
+            nt1, nalpha, nr, ng, nb = _merge_topk(
+                depth,
+                (s_t1[...], s_alpha[...], s_r[...], s_g[...], s_b[...]),
+                (t1, alpha, r, g, bl))
+            s_t1[...], s_alpha[...] = nt1, nalpha
+            s_r[...], s_g[...], s_b[...] = nr, ng, nb
+
+        return carry
+
+    jax.lax.fori_loop(0, pl.cdiv(bmax_ref[i], CHUNK), chunk_body, 0)
+
+    out_ref[:, :, 0 * depth:1 * depth] = s_t1[...]
+    out_ref[:, :, 1 * depth:2 * depth] = s_alpha[...]
+    out_ref[:, :, 2 * depth:3 * depth] = s_r[...]
+    out_ref[:, :, 3 * depth:4 * depth] = s_g[...]
+    out_ref[:, :, 4 * depth:5 * depth] = s_b[...]
+
+
+def _bwd_topk_kernel(depth, bmax_ref, feats_ref, pix_ref, grad_layers_ref,
+                     dfeats_ref, s_t1, s_alpha, s_r, s_g, s_b, s_slot):
+    """Backward for the top-K-output forward: the caller's autodiff (through
+    the XLA-side merge + composite) supplies the per-layer cotangents
+    directly (grad lanes [0:K] = ∂L/∂αₖ, [K:2K]/[2K:3K]/[3K:4K] = ∂L/∂(rgb)ₖ;
+    the t1 cotangent is identically zero — ordering is piecewise constant),
+    so this kernel is sweep 1 + sweep 2 of ``_bwd_kernel`` without the
+    suffix-recurrence stage."""
+    i = pl.program_id(0)
+    pix = pix_ref[...]
+    nc = pl.cdiv(bmax_ref[i], CHUNK)
+
+    s_t1[...] = jnp.full_like(s_t1, jnp.inf)
+    s_alpha[...] = jnp.zeros_like(s_alpha)
+    s_r[...] = jnp.zeros_like(s_r)
+    s_g[...] = jnp.zeros_like(s_g)
+    s_b[...] = jnp.zeros_like(s_b)
+    s_slot[...] = jnp.full_like(s_slot, -1.0)
+
+    def sweep1(c, carry):
+        off = pl.multiple_of(c * CHUNK, CHUNK)
+        feats = feats_ref[:, pl.ds(off, CHUNK), :]
+        t1, a, b, cq, delta = _intersect_t1(feats, pix)
+        kth = s_t1[..., depth - 1:depth]
+
+        @pl.when(jnp.any(t1 < kth))
+        def _merge():
+            alpha, r, g, bl, _ = _shade(feats, pix, t1, a, b, cq, delta)
+            gslot = (_lane(t1.shape) + c * CHUNK).astype(jnp.float32)
+            nt1, nalpha, nr, ng, nb, nslot = _merge_topk(
+                depth,
+                (s_t1[...], s_alpha[...], s_r[...], s_g[...], s_b[...],
+                 s_slot[...]),
+                (t1, alpha, r, g, bl, gslot))
+            nslot = jnp.where(jnp.isfinite(nt1), nslot, -1.0)
+            s_t1[...], s_alpha[...] = nt1, nalpha
+            s_r[...], s_g[...], s_b[...] = nr, ng, nb
+            s_slot[...] = nslot
+
+        return carry
+
+    jax.lax.fori_loop(0, nc, sweep1, 0)
+
+    gl = grad_layers_ref[...]                    # (B, P, 4K)
+    ga_k = gl[..., 0 * depth:1 * depth]
+    gwr_k = gl[..., 1 * depth:2 * depth]
+    gwg_k = gl[..., 2 * depth:3 * depth]
+    gwb_k = gl[..., 3 * depth:4 * depth]
+    slot_k = s_slot[...]
+
+    dfeats_ref[...] = jnp.zeros_like(dfeats_ref)
+
+    def sweep2(c, carry):
+        lo = (c * CHUNK).astype(jnp.float32)
+        hi = lo + CHUNK
+        has = jnp.any((slot_k >= lo) & (slot_k < hi))
+
+        @pl.when(has)
+        def _compute():
+            off = pl.multiple_of(c * CHUNK, CHUNK)
+            feats = feats_ref[:, pl.ds(off, CHUNK), :]
+            t1, a_quad, b_quad, cq, delta = _intersect_t1(feats, pix)
+            alpha, r, g, bl, rho = _shade(
+                feats, pix, t1, a_quad, b_quad, cq, delta)
+            gslot = (_lane(t1.shape) + c * CHUNK).astype(jnp.float32)
+
+            zc = jnp.zeros_like(t1)
+            gA, gR, gG, gB = zc, zc, zc, zc
+            for k in range(depth):
+                sk = slot_k[..., k:k + 1]
+                onehot = gslot == sk
+                gA = gA + jnp.where(onehot, ga_k[..., k:k + 1], 0.0)
+                gR = gR + jnp.where(onehot, gwr_k[..., k:k + 1], 0.0)
+                gG = gG + jnp.where(onehot, gwg_k[..., k:k + 1], 0.0)
+                gB = gB + jnp.where(onehot, gwb_k[..., k:k + 1], 0.0)
+
+            d = pix[..., 0:3]
+            fd = pix[..., 3:9]
+            y = pix[..., 9:24]
+            dA = gA * alpha * (-(b_quad * b_quad)
+                               / (4.0 * a_quad * a_quad))
+            dB = gA * alpha * (b_quad / (2.0 * a_quad))
+            dC0 = -gA * alpha
+            dOp = gA * rho * jnp.isfinite(t1).astype(jnp.float32)
+
+            ct = (((1,), (1,)), ((0,), (0,)))
+            dm6 = jax.lax.dot_general(dA, fd, ct,
+                                      preferred_element_type=jnp.float32)
+            dme = 2.0 * jax.lax.dot_general(
+                dB, d, ct, preferred_element_type=jnp.float32)
+            dsh_r = jax.lax.dot_general(gR, y, ct,
+                                        preferred_element_type=jnp.float32)
+            dsh_g = jax.lax.dot_general(gG, y, ct,
+                                        preferred_element_type=jnp.float32)
+            dsh_b = jax.lax.dot_general(gB, y, ct,
+                                        preferred_element_type=jnp.float32)
+            dblock = jnp.concatenate([
+                dm6, dme,
+                jnp.sum(dC0, axis=1)[..., None],
+                jnp.sum(dOp, axis=1)[..., None],
+                jnp.sum(gR, axis=1)[..., None],
+                jnp.sum(gG, axis=1)[..., None],
+                jnp.sum(gB, axis=1)[..., None],
+                dsh_r, dsh_g, dsh_b,
+                jnp.zeros(dm6.shape[:-1] + (5,), jnp.float32),
+            ], axis=-1)
+            dfeats_ref[:, pl.ds(off, CHUNK), :] = dblock
+
+        return carry
+
+    jax.lax.fori_loop(0, nc, sweep2, 0)
+
+
+def _pallas_fwd_topk(gathered, counts, pix, depth: int):
+    t, c, f = gathered.shape
+    assert c % CHUNK == 0, c
+    p = pix.shape[1]
+    gathered, bmax, pix, bt, nb, _ = _block_pad(gathered, counts, pix)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((bt, c, f), lambda i, bmax_ref: (i, 0, 0)),
+            pl.BlockSpec((bt, p, G_DIM), lambda i, bmax_ref: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bt, p, 5 * depth),
+                               lambda i, bmax_ref: (i, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((bt, p, depth), jnp.float32)
+                        for _ in range(5)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_fwd_topk_kernel, depth),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb * bt, p, 5 * depth), jnp.float32),
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(bmax, gathered, pix)
+    out = out[:t]
+    return (out[..., 0 * depth:1 * depth], out[..., 1 * depth:2 * depth],
+            out[..., 2 * depth:3 * depth], out[..., 3 * depth:4 * depth],
+            out[..., 4 * depth:5 * depth])
+
+
+def _pallas_bwd_topk(gathered, counts, pix, grad_layers, depth: int):
+    t, c, f = gathered.shape
+    assert c % CHUNK == 0, c
+    p = pix.shape[1]
+    gathered, bmax, pix, bt, nb, (grad_layers,) = _block_pad(
+        gathered, counts, pix, grad_layers)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((bt, c, f), lambda i, bmax_ref: (i, 0, 0)),
+            pl.BlockSpec((bt, p, G_DIM), lambda i, bmax_ref: (i, 0, 0)),
+            pl.BlockSpec((bt, p, 4 * depth), lambda i, bmax_ref: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bt, c, f), lambda i, bmax_ref: (i, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((bt, p, depth), jnp.float32)
+                        for _ in range(6)],
+    )
+    dfeats = pl.pallas_call(
+        functools.partial(_bwd_topk_kernel, depth),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb * bt, c, f), jnp.float32),
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(bmax, gathered, pix, grad_layers)
+    return dfeats[:t]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def peel_topk_pallas(packed_feats, candidates, pix_feats, depth: int):
+    """Fused tile top-K: per-pixel K nearest layers, NOT composited.
+
+    Same inputs as :func:`peel_pallas`; returns ``(t1, alpha, r, g, b)``
+    each ``(T, P, K)`` depth-ascending (misses: t1 = inf, payload 0). Used
+    by the primitive-sharded ring renderer, which merges K-lists across
+    shards in XLA and composites once. Differentiable in alpha/rgb (the t1
+    ordering is piecewise-constant, like ``lax.top_k``)."""
+    return _peel_topk_fwd_impl(packed_feats, candidates, pix_feats, depth)
+
+
+def _peel_topk_fwd_impl(packed_feats, candidates, pix_feats, depth):
+    gathered, _ = _gather(packed_feats, candidates)
+    return _pallas_fwd_topk(gathered, _counts(candidates), pix_feats, depth)
+
+
+def _peel_topk_fwd_rule(packed_feats, candidates, pix_feats, depth):
+    out = _peel_topk_fwd_impl(packed_feats, candidates, pix_feats, depth)
+    return out, (packed_feats, candidates, pix_feats)
+
+
+def _peel_topk_bwd_rule(depth, residuals, grads):
+    packed_feats, candidates, pix_feats = residuals
+    _d_t1, d_alpha, d_r, d_g, d_b = grads   # t1 cotangent is structurally 0
+    grad_layers = jnp.concatenate([d_alpha, d_r, d_g, d_b], axis=-1)
+    gathered, safe = _gather(packed_feats, candidates)
+    dfeats_tiles = _pallas_bwd_topk(
+        gathered, _counts(candidates), pix_feats, grad_layers, depth)
+    dpacked = jnp.zeros_like(packed_feats).at[safe.reshape(-1)].add(
+        dfeats_tiles.reshape(-1, packed_feats.shape[1]))
+    return dpacked, None, None
+
+
+peel_topk_pallas.defvjp(_peel_topk_fwd_rule, _peel_topk_bwd_rule)
+
+
 def _counts(candidates):
     """Per-tile candidate count = last valid slot + 1 (robust to interior
     -1 gaps; the binning stage emits contiguous prefixes so this is tight)."""

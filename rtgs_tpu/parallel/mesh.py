@@ -44,3 +44,35 @@ def make_mesh(n_rays: int = 0, n_prims: int = 1, devices=None) -> Mesh:
             f"have {n}")
     grid = np.asarray(devices[: n_rays * n_prims]).reshape(n_rays, n_prims)
     return Mesh(grid, (RAYS_AXIS, PRIMS_AXIS))
+
+
+def initialize_distributed(coordinator: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None) -> None:
+    """Multi-host bring-up (SURVEY.md §2.3d): ``jax.distributed.initialize``
+    over DCN, after which ``jax.devices()`` spans every host's chips and
+    :func:`make_mesh` builds one global mesh.
+
+    Arguments fall back to the standard env vars
+    (``JAX_COORDINATOR_ADDRESS`` / ``JAX_NUM_PROCESSES`` /
+    ``JAX_PROCESS_ID``), and on managed TPU pods (GCE metadata present) all
+    three may be ``None`` — JAX autodetects. Safe to call once per process,
+    before any other JAX API.
+    """
+    import os
+
+    coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id)
+
+
+def mesh_from_config(cfg) -> Mesh:
+    """Build the mesh a :class:`rtgs_tpu.config.MeshConfig` asks for (over
+    all processes' devices if :func:`initialize_distributed` ran first)."""
+    return make_mesh(cfg.rays, cfg.prims)

@@ -206,7 +206,12 @@ def tile_candidates(
     # its local candidates so valid indices form a contiguous prefix (the
     # Pallas kernel's chunk skipping keys off the per-tile count). ---
     gscore = jnp.where(is_global, -depth, -jnp.inf)
-    gvals, gidx = jax.lax.top_k(gscore, max_global)
+    k_glob = min(max_global, n)  # shards can be smaller than the budget
+    gvals, gidx = jax.lax.top_k(gscore, k_glob)
+    if k_glob < max_global:
+        gvals = jnp.pad(gvals, (0, max_global - k_glob),
+                        constant_values=-jnp.inf)
+        gidx = jnp.pad(gidx, (0, max_global - k_glob))
     glob = jnp.where(gvals > -jnp.inf, gidx.astype(jnp.int32), -1)
     n_glob = jnp.sum(glob >= 0).astype(jnp.int32)
     global_overflow = jnp.maximum(

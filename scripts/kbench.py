@@ -14,11 +14,18 @@ Usage: python scripts/kbench.py [n] [w] [h] [--stages binning,gather,kernel,...]
 from __future__ import annotations
 
 import argparse
+import functools
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+print = functools.partial(print, flush=True)
+
+
+def log(msg):
+    print(f"# [{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr)
 
 import jax
 import jax.numpy as jnp
@@ -69,6 +76,7 @@ def main():
     kw = dict(tile=tile, max_candidates=args.cand, max_global=args.glob)
     rays = res[0] * res[1]
 
+    log("resolving device")
     print(f"# device={jax.devices()[0]} n={n} res={res} depth={depth} "
           f"tile={tile} cand={args.cand}+{args.glob}")
     key = jax.random.PRNGKey(0)
@@ -78,6 +86,7 @@ def main():
         0.4, 1.2, 5.0, np.zeros(3), np.array([0.0, 0.0, 0.0, 1.0]))
     cam = camera_from_fov(pos, rot, res, 60.0)
 
+    log("scene built; compiling binning")
     binf = jax.jit(lambda g: tile_candidates(g, cam, **kw))
     if "binning" in stages:
         t = sync_time(lambda: binf(g), args.iters)
@@ -88,6 +97,7 @@ def main():
               f"local_ovf={int(b.local_overflow)} "
               f"global_ovf={int(b.global_overflow)}")
 
+    log("binning ready; building candidates")
     binning = jax.block_until_ready(binf(g))
     cand = binning.candidates
     pad_c = (-cand.shape[1]) % 128
@@ -112,12 +122,14 @@ def main():
         lambda: _tile_pixel_features(cam, tile))())
 
     if "kernel" in stages:
+        log("compiling fwd kernel")
         kf = jax.jit(lambda p: peel.peel_pallas(p, cand, pix, depth))
         t = sync_time(lambda: kf(packed), args.iters)
         print(f"kernel : {t*1e3:8.2f} ms   {rays/t/1e6:7.2f} Mrays/s "
               f"(fwd, kernel+gather only)")
 
     if "kbwd" in stages:
+        log("compiling bwd kernel")
         def loss(p):
             rad, trans = peel.peel_pallas(p, cand, pix, depth)
             return jnp.sum(rad) + jnp.sum(trans)

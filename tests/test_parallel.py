@@ -113,3 +113,56 @@ def test_sharded_training_step(key):
         losses.append(float(loss))
     assert losses[-1] < losses[0]
     assert np.isfinite(losses).all()
+
+
+@pytest.mark.parametrize("n_rays,n_prims", [(8, 1), (4, 2), (2, 4)])
+def test_tiled_sharded_matches_single_device(key, n_rays, n_prims):
+    """Production path: ring-over-prim-shards through the fused Pallas
+    top-K kernel == single-device tiled render (VERDICT r1 next #4)."""
+    from rtgs_tpu.parallel.render import render_tiled_sharded
+    from rtgs_tpu.render.tiled import render_tiled_pallas
+    from tests.test_tiled import _orbit_cam
+
+    g = random_scene(key, 160, extent=1.0)
+    cam = _orbit_cam((64, 32))
+    ref = render_tiled_pallas(g, cam, depth=8, tile=(16, 16),
+                              max_candidates=128, max_global=64)
+
+    mesh = make_mesh(n_rays, n_prims)
+    gs = shard_scene(g, mesh)
+    img = render_tiled_sharded(gs, cam, mesh, depth=8, tile=(16, 16),
+                               max_candidates=128, max_global=64)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref), atol=1e-5)
+
+
+def test_tiled_sharded_gradients(key):
+    """Scene gradients through the sharded production path == single-device
+    tiled-pallas gradients."""
+    from rtgs_tpu.parallel.render import render_tiled_sharded
+    from rtgs_tpu.render.tiled import render_tiled_pallas
+    from tests.test_tiled import _orbit_cam
+
+    g = random_scene(key, 96, extent=1.0)
+    cam = _orbit_cam((32, 32))
+    mesh = make_mesh(2, 4)
+    gs = shard_scene(g, mesh)
+
+    def loss_sharded(gg):
+        img = render_tiled_sharded(gg, cam, mesh, depth=8, tile=(16, 16),
+                                   max_candidates=128, max_global=64)
+        return jnp.sum(img ** 2)
+
+    def loss_ref(gg):
+        img = render_tiled_pallas(gg, cam, depth=8, tile=(16, 16),
+                                  max_candidates=128, max_global=64)
+        return jnp.sum(img ** 2)
+
+    grads_s = jax.grad(loss_sharded)(gs)
+    grads_r = jax.grad(loss_ref)(pad_scene(g, 4))
+    for a, b, name in zip(jax.tree.leaves(grads_s),
+                          jax.tree.leaves(grads_r),
+                          [f.name for f in type(gs)._fields] if False
+                          else range(len(jax.tree.leaves(grads_s)))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5,
+                                   err_msg=f"leaf {name}")

@@ -120,3 +120,47 @@ def test_pallas_scene_gradients(key):
         rel = np.abs(a - b) / scale
         assert np.quantile(rel, 0.99) < 1e-3, name
         assert rel.max() < 0.2, name
+
+
+def test_pallas_topk_forward_and_backward(key):
+    """peel_topk_pallas: K-list forward equals XLA-composited peel when
+    composited outside; hand backward equals autodiff of the same
+    composite-of-K-lists formulation."""
+    from rtgs_tpu.ops.peel import peel_topk_pallas
+    from rtgs_tpu.render.oracle import composite_hits
+
+    _, _, packed, cand, pix = _setup(key, n=80, res=(16, 16), tile=(8, 8))
+    depth = 8
+
+    def via_topk(packed):
+        t1, a, r, g, b = peel_topk_pallas(packed, cand, pix, depth)
+        rgb = jnp.stack([r, g, b], axis=-1)
+        rad, trans = composite_hits(t1, a, rgb)
+        return rad, trans
+
+    def via_reference(packed):
+        rad, trans = peel_reference(packed, cand, pix, depth)
+        return rad.transpose(0, 2, 1), trans  # (T, P, 3)
+
+    rad_t, trans_t = via_topk(packed)
+    rad_r, trans_r = via_reference(packed)
+    np.testing.assert_allclose(np.asarray(rad_t), np.asarray(rad_r),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(trans_t), np.asarray(trans_r),
+                               atol=1e-5)
+
+    kr = jax.random.fold_in(key, 3)
+    w = jax.random.normal(kr, rad_t.shape)
+
+    def loss_topk(p):
+        rad, trans = via_topk(p)
+        return jnp.sum(w * rad) + jnp.sum(trans)
+
+    def loss_ref(p):
+        rad, trans = via_reference(p)
+        return jnp.sum(w * rad) + jnp.sum(trans)
+
+    g_t = jax.grad(loss_topk)(packed)
+    g_r = jax.grad(loss_ref)(packed)
+    np.testing.assert_allclose(np.asarray(g_t), np.asarray(g_r),
+                               rtol=1e-4, atol=1e-5)
