@@ -30,9 +30,11 @@ per-step cost):
     the top-K merge — only under an ``any(t1 < kth)`` predicate
     (``pl.when``). After the state saturates, typical chunks cost two
     batched (P×6)/(P×3) matmuls and a compare-reduce.
-  * All K-indexed inner loops are Python-unrolled so every column access is
-    a static lane slice (no iota-compare column emulation, no fori-loop
-    relayout hazards); cross-chunk state lives in VMEM scratch.
+  * The top-K merge runs as a ``fori_loop`` of K argmin-extract passes
+    with iota-masked column writes (a Python unroll hands Mosaic's register
+    allocator a huge straight-line graph — measured 280MB of spill slots);
+    the small composite/cotangent loops stay unrolled. Cross-chunk state
+    lives in VMEM scratch.
 
 Feature packing (F = 64 lanes):
   [0:6]   Σ⁻¹ packed sym6 (m00, m01, m02, m11, m12, m22)
@@ -94,8 +96,14 @@ def _interpret() -> bool:
 
 
 def _tile_block() -> int:
-    """Tiles per grid step (VMEM-bounded; env-tunable for kbench sweeps)."""
-    return int(os.environ.get("RTGS_TILE_BLOCK", "4"))
+    """Tiles per grid step (env-tunable for kbench sweeps).
+
+    Default 1: Mosaic unrolls vector ops over the leading block dim, and at
+    tile_block=4 the register allocator explodes (measured 280MB of spill
+    slots vs the chip's 128MB VMEM, ~15-minute compiles); at 1 the forward
+    kernel compiles in ~2s. Per-grid-step overhead is already amortized by
+    the internal chunk loop."""
+    return int(os.environ.get("RTGS_TILE_BLOCK", "1"))
 
 
 def _lane(shape):
@@ -164,29 +172,43 @@ def _merge_topk(depth, state, chunk):
     sorted ascending) ∪ ``chunk`` (tuple of (..., C) arrays) → new sorted
     (..., K) state tuple. Ties break to the lower lane, i.e. earlier
     candidates first — the same order as a global argmin peel (state lanes
-    come first and hold earlier chunks). Field 0 must be t1. Fully unrolled
-    over K; empty layers come back with t1 = +inf and 0 in every payload
-    field, so a later merge treats them as vacant and the composite skips
-    them."""
+    come first and hold earlier chunks). Field 0 must be t1. Empty layers
+    come back with t1 = +inf and 0 in every payload field, so a later merge
+    treats them as vacant and the composite skips them."""
     cat = [jnp.concatenate([s, c], axis=-1) for s, c in zip(state, chunk)]
     t1m = cat[0]
     nlanes = t1m.shape[-1]
     lane = _lane(t1m.shape)
-    cols = [[] for _ in cat]
-    for _ in range(depth):
+    outs = [jnp.full_like(state[0], jnp.inf)] + [
+        jnp.zeros_like(s) for s in state[1:]]
+
+    # A lax loop, NOT a Python unroll: K unrolled argmin-extract passes give
+    # Mosaic's register allocator a huge straight-line SSA graph — measured
+    # 280MB of spill slots at tile_block=4 (> the chip's 128MB VMEM). The
+    # loop body keeps the live set to cat (loop constants in VMEM) + one
+    # t1m + the K-wide outputs.
+    klane = _lane(state[0].shape)                           # (..., K)
+
+    def body(k, carry):
+        t1m = carry[0]
         m = jnp.min(t1m, axis=-1, keepdims=True)            # (..., 1)
         finite = jnp.isfinite(m)
         sel = (t1m == m) & finite
         fidx = jnp.min(jnp.where(sel, lane, nlanes), axis=-1, keepdims=True)
         first = (lane == fidx) & finite
-        for fi, x in enumerate(cat):
+        at_k = klane == k   # column-k write mask (dynamic_update_slice is
+        new_outs = []       # not lowered for values in Pallas TPU)
+        for fi, (x, o) in enumerate(zip(cat, carry[1:])):
             # where-before-sum (not fw·x) so inf lanes never make 0·inf nan.
             v = jnp.sum(jnp.where(first, x, 0.0), axis=-1, keepdims=True)
             if fi == 0:
                 v = jnp.where(finite, v, jnp.inf)
-            cols[fi].append(v)
+            new_outs.append(jnp.where(at_k, v, o))
         t1m = jnp.where(first, jnp.inf, t1m)
-    return tuple(jnp.concatenate(c, axis=-1) for c in cols)
+        return (t1m,) + tuple(new_outs)
+
+    carry = jax.lax.fori_loop(0, depth, body, (t1m,) + tuple(outs))
+    return carry[1:]
 
 
 def _composite(depth, alpha_k, r_k, g_k, b_k):
