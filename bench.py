@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import json
 import os
+from functools import partial
 import signal
 import subprocess
 import sys
@@ -108,22 +109,43 @@ def _child(idx: int) -> None:
     _log(f"binning: live={live} local_ovf={local_ovf} "
          f"global_ovf={global_ovf}")
 
-    def fwd():
-        return render_tiled_pallas(g, cam, depth=depth, **RENDER_KW)
+    # Timing methodology: the tunneled-TPU backend's device->host readback
+    # costs ~25ms and block_until_ready does not reliably block, so single-
+    # call timings are RPC artifacts. Chain ITERS data-dependent iterations
+    # inside one jitted scan, force one tiny readback, subtract the
+    # measured readback floor, divide.
+    import numpy as _np
 
-    def _time(fn, iters=5):
-        _log("compiling/warming")
-        jax.block_until_ready(fn())
-        _log("timing")
-        times = []
-        for _ in range(iters):
+    def _floor():
+        ts = []
+        probe = g.means
+        for _ in range(5):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn())
-            times.append(time.perf_counter() - t0)
-        times.sort()
-        return times[len(times) // 2]
+            _ = _np.asarray(probe[:1])
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return ts[2]
 
-    t_fwd = _time(fwd)
+    def _time(fn, readout, iters=5):
+        """Single-call timing + forced tiny readback − readback floor
+        (block_until_ready does not reliably block on the tunneled
+        backend; wrapping pallas in lax.scan to batch is ~20x slower and
+        unrepresentative)."""
+        _log("compiling/warming")
+        _ = _np.asarray(readout(fn()))
+        fl = _floor()
+        _log(f"timing (readback floor {fl*1e3:.1f} ms)")
+        ts = []
+        for _i in range(iters):
+            t0 = time.perf_counter()
+            _ = _np.asarray(readout(fn()))
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return max(ts[len(ts) // 2] - fl, 1e-9)
+
+    fwd = jax.jit(lambda gg: render_tiled_pallas(
+        gg, cam, depth=depth, **RENDER_KW))
+    t_fwd = _time(lambda: fwd(g), lambda img: img[:1, 0, 0])
     _log(f"fwd {t_fwd*1e3:.1f} ms ({rays/t_fwd/1e6:.1f} Mrays/s)")
 
     @jax.jit
@@ -135,7 +157,7 @@ def _child(idx: int) -> None:
         return jax.grad(loss)(gg)
 
     try:
-        t_step = _time(lambda: grad_fn(g))
+        t_step = _time(lambda: grad_fn(g), lambda gr: gr.means[:1, 0])
         mode = "fwd+bwd"
     except Exception as e:
         _log(f"bwd failed ({type(e).__name__}: {e}); reporting fwd only")

@@ -56,10 +56,14 @@ def inverse_sigmoid(y: np.ndarray) -> np.ndarray:
 
 def load_scene(path, scale: float = 1.0,
                sh_layout: str = "inria") -> G.Gaussians:
-    """Load a ``.ply`` 3DGS scene into a :class:`Gaussians` SoA pytree.
+    """Load a ``.ply`` (or ``.splt``/``.splat``) 3DGS scene into a
+    :class:`Gaussians` SoA pytree.
 
     Args:
-      path: scene file path.
+      path: scene file path. ``.ply`` uses the canonical 62-property schema;
+        ``.splt``/``.splat`` is the 32-byte community format (the reference
+        advertises splt support, ``scene.py:89-92``, but its PyntCloud
+        loader cannot actually read it — here it works).
       scale: global Gaussian scale multiplier (reference ``--scale`` flag,
         ``scene.py:112``).
       sh_layout: ``"inria"`` (correct channel pairing) or
@@ -67,6 +71,21 @@ def load_scene(path, scale: float = 1.0,
         reinterpretation).
     """
     path = pathlib.Path(path)
+    if path.suffix.lower() in (".splt", ".splat"):
+        from rtgs_tpu.io.splt import read_splt
+
+        d = read_splt(path)
+        n = d["means"].shape[0]
+        logger.info("splt cloud loaded from %s with %d points.", path, n)
+        return G.Gaussians(
+            means=jnp.asarray(d["means"], jnp.float32),
+            quats=jnp.asarray(d["quats"], jnp.float32),
+            scales=jnp.asarray(d["scales"] * scale, jnp.float32),
+            colors=jnp.asarray(d["colors"], jnp.float32),
+            opacities=jnp.asarray(d["opacities"], jnp.float32),
+            sh=jnp.asarray(d["sh"], jnp.float32),
+            mask=jnp.ones((n,), jnp.float32),
+        )
     cols = read_ply(path)
     n = len(cols["x"])
     logger.info("Point cloud loaded from %s with %d points.", path, n)
@@ -111,8 +130,20 @@ def save_scene(path, g: G.Gaussians, scale: float = 1.0,
     """Write a scene back to the canonical 62-property 3DGS ``.ply`` schema
     with inverse activations (log scale, logit color/opacity, scalar-first
     quats), so optimized scenes round-trip into the reference viewer
-    (SURVEY.md §5 checkpoint/resume)."""
+    (SURVEY.md §5 checkpoint/resume). A ``.splt``/``.splat`` path writes the
+    32-byte community format instead (SH dropped)."""
     live = np.asarray(g.mask) > 0
+    path = pathlib.Path(path)
+    if path.suffix.lower() in (".splt", ".splat"):
+        from rtgs_tpu.io.splt import write_splt
+
+        write_splt(path,
+                   np.asarray(g.means)[live],
+                   np.asarray(g.quats)[live],
+                   np.asarray(g.scales)[live] / scale,
+                   np.asarray(g.colors)[live],
+                   np.asarray(g.opacities)[live])
+        return
     means = np.asarray(g.means, np.float32)[live]
     quats = np.asarray(g.quats, np.float32)[live]
     scales = np.asarray(g.scales, np.float32)[live]

@@ -21,6 +21,19 @@ Covered:
 
 All three render paths (oracle, tiled, fused Pallas) are held to the same
 goldens.
+
+Deliberate deviations from the reference (documented, not silent):
+  * Progressive sampling (``-s/--sample`` + the fractional display average
+    ``sample_buf / (num_samples + steps/depth)``, ``ray_tracer.py:68-77``):
+    the reference casts DETERMINISTIC pixel-center rays, so every completed
+    sample is the identical image and the converged average equals one
+    sample — these goldens ARE that converged image. The TPU renderer
+    produces it in one pass; ``--sample`` is accepted for flag parity and
+    the mid-sample partial averages (a GUI-progressiveness artifact) are
+    intentionally not reproduced.
+  * The default SH layout is ``inria`` (correct channel pairing);
+    ``reference_flat`` (used here) replicates the reference's buffer
+    reinterpretation bit-for-bit — see ``test_sh_layout_matters``.
 """
 
 import pathlib

@@ -136,3 +136,29 @@ def test_pad_scene(key):
 def test_sigmoid_inverse():
     x = np.linspace(-8, 8, 33)
     np.testing.assert_allclose(inverse_sigmoid(sigmoid(x)), x, rtol=1e-9)
+
+
+def test_splt_roundtrip(tmp_path, key):
+    """.splt (antimatter15 .splat layout) save -> load round-trip. The
+    format quantizes colors/opacity/quats to u8 and drops SH."""
+    from rtgs_tpu.scene import load_scene, random_scene, save_scene
+
+    g = random_scene(key, 40, extent=0.8)
+    p = tmp_path / "scene.splt"
+    save_scene(p, g)
+    assert p.stat().st_size == 40 * 32
+    g2 = load_scene(p)
+    np.testing.assert_allclose(np.asarray(g2.means), np.asarray(g.means),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g2.scales), np.asarray(g.scales),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g2.colors), np.asarray(g.colors),
+                               atol=1 / 255.0)
+    np.testing.assert_allclose(np.asarray(g2.opacities),
+                               np.asarray(g.opacities), atol=1 / 255.0)
+    # Quats quantized to u8; compare up to sign (q and -q are one rotation).
+    q1 = np.asarray(g.quats)
+    q2 = np.asarray(g2.quats)
+    sign = np.sign(np.sum(q1 * q2, axis=1, keepdims=True))
+    np.testing.assert_allclose(q2 * sign, q1, atol=2 / 128.0)
+    assert np.abs(np.asarray(g2.sh)).max() == 0.0

@@ -140,3 +140,25 @@ def test_binning_pairs_budget(key):
 
     tiny = tile_candidates(g, cam, pairs_budget=64, **kw)
     assert int(tiny.local_overflow) > 0
+
+
+def test_bitwise_determinism(key):
+    """SURVEY §5: XLA's substitute for race detection — the same render
+    twice must be bitwise identical (no atomics, no nondeterministic
+    reductions anywhere in the pipeline)."""
+    from rtgs_tpu.render.tiled import render_tiled_pallas
+
+    g = random_scene(key, 300, extent=1.0)
+    cam = _orbit_cam((64, 48))
+    a = np.asarray(render_tiled_pallas(g, cam, depth=16))
+    b = np.asarray(render_tiled_pallas(g, cam, depth=16))
+    assert np.array_equal(a, b)  # bitwise, not allclose
+
+    def loss(g):
+        import jax.numpy as jnp
+        return jnp.sum(render_tiled_pallas(g, cam, depth=16) ** 2)
+
+    ga = jax.tree.leaves(jax.grad(loss)(g))
+    gb = jax.tree.leaves(jax.grad(loss)(g))
+    for x, y in zip(ga, gb):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
