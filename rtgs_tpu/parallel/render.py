@@ -140,7 +140,8 @@ def render_tiled_sharded(
     ring and cannot scale).
 
     Per ring step each rays-rank: bins the current prim shard into its local
-    tiles' candidate lists, runs :func:`rtgs_tpu.ops.peel.peel_topk_pallas`
+    tiles' candidate lists, runs :func:`rtgs_tpu.ops.peel.peel_topk`
+    (the fused Pallas kernel on TPU, the XLA formulation elsewhere)
     for per-pixel K-lists, and merges them by entry depth into the running
     K-list — exactly the global top-K after the full ring (SURVEY.md §5:
     stationary queries = rays, rotating keys = primitives). One XLA
@@ -154,7 +155,7 @@ def render_tiled_sharded(
     from rtgs_tpu.render.tiled import (
         _tile_pixel_features, pack_features, precompute_features)
     from rtgs_tpu.render.oracle import composite_hits
-    from rtgs_tpu.ops.peel import peel_topk_pallas, CHUNK
+    from rtgs_tpu.ops.peel import peel_topk, CHUNK
 
     n_prims = mesh.shape[PRIMS_AXIS]
     n_rays = mesh.shape[RAYS_AXIS]
@@ -196,7 +197,7 @@ def render_tiled_sharded(
             cand_local = jax.lax.dynamic_slice_in_dim(
                 cand, rank * t_local, t_local, 0)
             packed = pack_features(precompute_features(g_shard, camera))
-            klist = peel_topk_pallas(packed, cand_local, pix_local, depth)
+            klist = peel_topk(packed, cand_local, pix_local, depth)
             best = _merge_layers(best, klist, depth)
             if n_prims > 1:
                 perm = [(j, (j + 1) % n_prims) for j in range(n_prims)]

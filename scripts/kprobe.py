@@ -1,15 +1,15 @@
-"""Cost breakdown of the fused peel kernel by ablation.
+"""Cost breakdown of the fused peel kernel by ablation (round-2 kernel).
 
 Times pallas kernels of increasing complexity on the same candidate data:
 
-  empty     — DMA the feats block, touch it, write out (per-step overhead
-              + HBM streaming floor)
-  intersect — + the per-chunk quadratic (two small matmuls) for all chunks
-  shade     — + exp/SH shading every chunk (no top-K merge)
-  merge     — + the top-K merge every chunk (no skip predicate)
-  full      — the production kernel (merge under the any(t1<kth) predicate)
+  empty     — DMA the feats block, touch it, write defaults (per-step
+              overhead + HBM streaming floor)
+  intersect — + the full-candidate quadratic + SH dots (MXU matmuls +
+              elementwise over (P, C))
+  select    — + the K argmin passes extracting only the winner index
+  full      — the production kernel (6-field extraction per pass)
 
-Usage: python scripts/kprobe.py [n] [w] [h] [--variants empty,intersect,...]
+Usage: python scripts/kprobe.py [n] [w] [h] [--variants empty,...]
 """
 
 from __future__ import annotations
@@ -31,120 +31,79 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from rtgs_tpu.ops import peel
-from rtgs_tpu.ops.peel import (CHUNK, G_DIM, _block_pad, _composite, _counts,
-                               _gather, _intersect_t1, _lane, _merge_topk,
-                               _shade)
+from rtgs_tpu.ops.peel import (CHUNK, G_DIM, _block_pad, _counts, _empty_layers,
+                               _gather, _lane_f32, _tile_intersect,
+                               _tile_select)
 
 
-def _kernel(depth, variant, bmax_ref, feats_ref, pix_ref, out_ref,
-            s_t1, s_alpha, s_r, s_g, s_b):
-    i = pl.program_id(0)
-    pix = pix_ref[...]
-    s_t1[...] = jnp.full_like(s_t1, jnp.inf)
-    s_alpha[...] = jnp.zeros_like(s_alpha)
-    s_r[...] = jnp.zeros_like(s_r)
-    s_g[...] = jnp.zeros_like(s_g)
-    s_b[...] = jnp.zeros_like(s_b)
+def _kernel(depth, variant, counts_ref, feats_ref, pix_ref, lay_ref):
+    bt = feats_ref.shape[0]
+    p = pix_ref.shape[1]
+    base = pl.program_id(0) * bt
+    for i in range(bt):
+        cnt = counts_ref[base + i]
 
-    def body(c, carry):
-        off = pl.multiple_of(c * CHUNK, CHUNK)
-        feats = feats_ref[:, pl.ds(off, CHUNK), :]
-        if variant == "empty":
-            s_alpha[...] += feats[:, 0:1, 0:16] * 1e-30
-            return carry
-        t1, a, b, cq, delta = _intersect_t1(feats, pix)
-        if variant == "intersect":
-            s_t1[...] = jnp.minimum(
-                s_t1[...], jnp.min(t1, axis=-1, keepdims=True))
-            return carry
-        if variant == "shade":
-            alpha, r, g, bl, _ = _shade(feats, pix, t1, a, b, cq, delta)
-            s_alpha[...] += jnp.sum(alpha, -1, keepdims=True) * 1e-30
-            s_r[...] += jnp.sum(r, -1, keepdims=True) * 1e-30
-            return carry
-        if variant == "shade_exp":
-            rho = jnp.where(delta > 0.0,
-                            jnp.exp(b * b / (4.0 * a) - (cq + 3.0)), 0.0)
-            alpha = jnp.where(jnp.isfinite(t1),
-                              feats[..., 10][:, None, :] * rho, 0.0)
-            s_alpha[...] += jnp.sum(alpha, -1, keepdims=True) * 1e-30
-            return carry
-        if variant == "shade_dots":
-            y = pix[..., 9:24]
-            contract = (((2,), (2,)), ((0,), (0,)))
-            acc = jnp.zeros_like(t1)
-            for ch in range(3):
-                sh_ch = feats[..., 14 + 15 * ch: 29 + 15 * ch]
-                acc = acc + jax.lax.dot_general(
-                    y, sh_ch, contract, preferred_element_type=jnp.float32)
-            s_r[...] += jnp.sum(acc, -1, keepdims=True) * 1e-30
-            return carry
-        if variant == "shade_dots2d":
-            y = pix[0, :, 9:24]
-            contract = (((1,), (1,)), ((), ()))
-            acc = jnp.zeros_like(t1[0])
-            for ch in range(3):
-                sh_ch = feats[0, :, 14 + 15 * ch: 29 + 15 * ch]
-                acc = acc + jax.lax.dot_general(
-                    y, sh_ch, contract, preferred_element_type=jnp.float32)
-            s_r[...] += jnp.sum(acc, -1, keepdims=True)[None] * 1e-30
-            return carry
+        @pl.when(cnt > 0)
+        def _tile(i=i):
+            if variant == "empty":
+                lay_ref[i] = (_empty_layers(p, depth)
+                              + feats_ref[i, 0:1, 0:1] * 1e-30)
+                return
+            t1, q, u, op, r, g, b = _tile_intersect(feats_ref[i], pix_ref[i])
+            if variant == "intersect":
+                probe = (jnp.min(t1, -1, keepdims=True)
+                         + 1e-30 * jnp.sum(q + u + r + g + b, -1,
+                                           keepdims=True))
+                lay_ref[i] = _empty_layers(p, depth) + probe * 1e-30
+                return
+            if variant == "select":
+                c = t1.shape[-1]
+                lanef = _lane_f32(t1.shape)
+                t1m = t1
+                cols = []
+                for _k in range(depth):
+                    m = jnp.min(t1m, axis=-1, keepdims=True)
+                    fin = m < jnp.inf
+                    sel = (t1m == m) & fin
+                    fidx = jnp.min(jnp.where(sel, lanef, float(c)), axis=-1,
+                                   keepdims=True)
+                    first = (lanef == fidx) & fin
+                    cols.append(jnp.where(fin, fidx, -1.0))
+                    t1m = jnp.where(first, jnp.inf, t1m)
+                probe = sum(cols) * 1e-30 + 1e-30 * jnp.sum(
+                    q + u + r + g + b, -1, keepdims=True)
+                lay_ref[i] = _empty_layers(p, depth) + probe
+                return
+            lay_ref[i] = _tile_select(depth, t1, q, u, op, r, g, b)
 
-        kth = s_t1[..., depth - 1:depth]
-
-        def do_merge():
-            alpha, r, g, bl, _ = _shade(feats, pix, t1, a, b, cq, delta)
-            nt1, nalpha, nr, ng, nb = _merge_topk(
-                depth,
-                (s_t1[...], s_alpha[...], s_r[...], s_g[...], s_b[...]),
-                (t1, alpha, r, g, bl))
-            s_t1[...], s_alpha[...] = nt1, nalpha
-            s_r[...], s_g[...], s_b[...] = nr, ng, nb
-
-        if variant == "merge":
-            do_merge()
-        else:  # full
-            pl.when(jnp.any(t1 < kth))(do_merge)
-        return carry
-
-    jax.lax.fori_loop(0, pl.cdiv(bmax_ref[i], CHUNK), body, 0)
-    rr, rg, rb, tr = _composite(
-        depth, s_alpha[...], s_r[...], s_g[...], s_b[...])
-    out_ref[:, 0, :] = rr[..., 0]
-    out_ref[:, 1, :] = rg[..., 0]
-    out_ref[:, 2, :] = rb[..., 0]
-    out_ref[:, 3, :] = tr[..., 0]
+        @pl.when(cnt == 0)
+        def _blank(i=i):
+            lay_ref[i] = _empty_layers(p, depth)
 
 
 def run_variant(variant, gathered, counts, pix, depth):
     t, c, f = gathered.shape
     p = pix.shape[1]
-    g2, bmax, pix2, bt, nb, _ = _block_pad(gathered, counts, pix)
+    counts2, bt, nb, (g2, pix2) = _block_pad(counts, gathered, pix)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((bt, c, f), lambda i, bm: (i, 0, 0)),
-            pl.BlockSpec((bt, p, G_DIM), lambda i, bm: (i, 0, 0)),
+            pl.BlockSpec((bt, c, f), lambda i, cr: (i, 0, 0)),
+            pl.BlockSpec((bt, p, G_DIM), lambda i, cr: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((bt, 4, p), lambda i, bm: (i, 0, 0)),
-        scratch_shapes=[pltpu.VMEM((bt, p, depth), jnp.float32)
-                        for _ in range(5)],
+        out_specs=pl.BlockSpec((bt, p, 8 * depth), lambda i, cr: (i, 0, 0)),
     )
     fn = pl.pallas_call(
         functools.partial(_kernel, depth, variant),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb * bt, 4, p), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nb * bt, p, 8 * depth), jnp.float32),
         interpret=peel._interpret(),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
             vmem_limit_bytes=100 * 1024 * 1024),
     )
-
-    # NOTE: do NOT wrap the pallas_call in a lax.scan to batch timing —
-    # measured catastrophic (~20x) slowdowns for pallas inside while
-    # bodies. Single calls with a forced readback are the honest timing.
-    return jax.jit(lambda: fn(bmax, g2, pix2)), None
+    return jax.jit(lambda: fn(counts2, g2, pix2))
 
 
 def readback_floor(x):
@@ -157,7 +116,7 @@ def readback_floor(x):
     return ts[3]
 
 
-def sync_time(fn, _arg, floor, iters=5):
+def sync_time(fn, floor, iters=5):
     """Single-call timing with a forced tiny readback (block_until_ready
     does not reliably block on the tunneled backend); subtract the ~25ms
     readback floor. Honest for T >~ 50ms."""
@@ -180,7 +139,7 @@ def main():
     ap.add_argument("--cand", type=int, default=512)
     ap.add_argument("--glob", type=int, default=128)
     ap.add_argument("--variants", type=str,
-                    default="empty,intersect,shade,merge,full")
+                    default="empty,intersect,select,full")
     ap.add_argument("--iters", type=int, default=8)
     args = ap.parse_args()
 
@@ -216,15 +175,15 @@ def main():
     counts = _counts(cand)
     print(f"# device={jax.devices()[0]} tiles={cand.shape[0]} "
           f"cand={cand.shape[1]} mean_count={float(jnp.mean(counts)):.0f} "
-          f"tb={os.environ.get('RTGS_TILE_BLOCK', '1')}")
+          f"tb={os.environ.get('RTGS_TILE_BLOCK', '4')}")
 
     floor = readback_floor(gathered)
-    print(f"# readback floor {floor*1e3:.1f} ms; chained x{args.iters}")
+    print(f"# readback floor {floor*1e3:.1f} ms")
     prev = 0.0
     for variant in args.variants.split(","):
         t0 = time.time()
-        chain, arg = run_variant(variant, gathered, counts, pix, args.depth)
-        t = sync_time(chain, arg, floor, args.iters)  # floor-corrected
+        fn = run_variant(variant, gathered, counts, pix, args.depth)
+        t = sync_time(fn, floor, args.iters)  # floor-corrected
         print(f"{variant:9s}: {t*1e3:8.2f} ms  (+{(t-prev)*1e3:7.2f} ms)  "
               f"{rays/t/1e6:7.2f} Mrays/s   [compile {time.time()-t0:.0f}s]")
         prev = t
