@@ -1,78 +1,78 @@
-"""Fused Pallas TPU kernel: intersect + depth-select + shade, fwd & bwd.
+"""Fused Pallas TPU kernel: intersect + depth-select + composite, fwd & bwd.
 
 This is the hot path the BASELINE.json north star names: "per-ray Gaussian
 intersection, depth-ordered hit sorting, and front-to-back alpha compositing
-become fused Pallas kernels with a hand-derived backward pass". The
-reference instead launches one kernel per *layer* and re-traverses its BVH
-each time (``/root/reference/src/rtgs/ray_tracer.py:50-54``).
+become fused Pallas kernels with a hand-derived backward pass". Each screen
+tile streams its candidate list through VMEM in chunks of 128, maintaining an
+exact per-pixel top-K (K = ``depth``) nearest-hit state in VMEM scratch —
+top-K of a union is the top-K of (top-K, next chunk), so the result is
+identical to a global depth-peel while VMEM usage stays bounded by the chunk,
+not the candidate count (the reference instead launches one kernel per
+*layer* and re-traverses its BVH each time,
+``/root/reference/src/rtgs/ray_tracer.py:50-54``).
 
-Performance architecture (round 2 — the round-1 kernel kept an exact
-per-pixel top-K state merged chunk-by-chunk; profiling on a v5e showed the
-16-pass merge-per-chunk and the exp/SH shading of *every* candidate were
-~50x the cost of the intersection matmuls):
+Performance architecture (round 2 — the round-1 kernel ran a 2-D
+``(tiles, chunks)`` grid whose ~18k tiny grid steps were dominated by fixed
+per-step cost):
 
-  * **Winner-index selection.** Per tile, the quadratic runs over the whole
-    candidate axis in one shot — two small MXU matmuls (measured free) give
-    every candidate's entry depth t1. Then K unrolled argmin-extract passes
-    find the K nearest hits per pixel, extracting only six scalars per
-    winner (exp argument q, B/2A, opacity, and the three SH-resolved color
-    channels) plus the winning lane index. The expensive math — ``exp`` —
-    runs on the (P, K) winners only, never on the (P, C) candidate field.
-  * **No in-kernel composite / no second sweep.** The kernel's only output
-    is the per-layer state (8 fields x K = exactly 128 lanes at K=16);
-    front-to-back compositing and the backward's suffix recurrences are
-    (T, P, K) elementwise XLA, fused and negligible.
-  * **Index-replay backward.** The forward's layer state + winner indices
-    are the VJP residuals, so the backward never touches the feature table
-    at all: it scatters per-layer cotangents onto candidate lanes with K
-    one-hot compares and contracts over pixels with five small matmuls.
-  * The grid is 1-D over blocks of BT tiles (``parallel`` — tiles are
-    independent); the kernel loops over the block's tiles in Python so the
-    per-grid-step fixed cost (~8 us measured) amortizes. Per-tile candidate
-    counts ride in as scalar prefetch; empty tiles (sky, padding) write
-    defaults and skip all math.
+  * The grid is one-dimensional over **blocks of BT tiles** (``parallel`` —
+    tiles are independent). Each block's whole candidate feature array rides
+    in as a single (BT, C, F) VMEM block (Pallas double-buffers it across
+    steps, overlapping the HBM DMA with compute), and the kernel loops over
+    128-wide candidate chunks *internally* with a ``fori_loop`` whose trip
+    count is ``ceil(max-count-in-block / 128)`` from per-block counts passed
+    as **scalar prefetch** — empty tails cost nothing.
+  * Because the binning stage emits candidates sorted by center depth
+    (nearest first, ``rtgs_tpu/render/binning.py``), a chunk can only change
+    the top-K state if some candidate's entry depth beats the current K-th
+    nearest. The kernel computes the cheap quadratic (two small matmuls) for
+    every active chunk but runs the expensive part — the exp/SH shading and
+    the top-K merge — only under an ``any(t1 < kth)`` predicate
+    (``pl.when``). After the state saturates, typical chunks cost two
+    batched (P×6)/(P×3) matmuls and a compare-reduce.
+  * The top-K merge runs as a ``fori_loop`` of K argmin-extract passes
+    with iota-masked column writes (a Python unroll hands Mosaic's register
+    allocator a huge straight-line graph — measured 280MB of spill slots);
+    the small composite/cotangent loops stay unrolled. Cross-chunk state
+    lives in VMEM scratch.
 
 Feature packing (F = 64 lanes):
-  [0:6]   Sigma^-1 packed sym6 (m00, m01, m02, m11, m12, m22)
-  [6:9]   Me, e = origin - mu
-  [9]     c0 = e^T M e - 3
+  [0:6]   Σ⁻¹ packed sym6 (m00, m01, m02, m11, m12, m22)
+  [6:9]   Me, e = origin − μ
+  [9]     c0 = eᵀMe − 3
   [10]    opacity
   [11:14] base color rgb
-  [14:29] SH.r   [29:44] SH.g   [44:59] SH.b
+  [14:29] SH·r   [29:44] SH·g   [44:59] SH·b
 Pixel packing (G = 24 lanes): [0:3] dir, [3:9] d-quadratic features
-(dx^2, 2dxdy, 2dxdz, dy^2, 2dydz, dz^2), [9:24] SH basis y(dir).
+(dx², 2dxdy, 2dxdz, dy², 2dydz, dz²), [9:24] SH basis y(dir).
 
-Quadratic identities (see render/tiled.py): A = fd.m6, B = 2 d.Me, C = c0;
-entry depth t1 = (-B-sqrt(D))/2A; the reference's midpoint response is
-rho = exp(B^2/4A - (c0+3)) (``gaussian.py:183-201`` + ``ray_tracer.py:90``),
-kept alpha = opacity * rho with the Delta == 0 -> rho = 0 quirk.
-
-Layer-state lanes (L = 8K): [0:K] t1 (ascending; +inf = vacant),
-[K:2K] q = B^2/4A - (c0+3) (-inf when Delta <= 0 or vacant), [2K:3K]
-u = B/2A, [3K:4K] opacity, [4K:7K] r/g/b, [7K:8K] winning candidate lane
-index as f32 (-1 = vacant).
+Quadratic identities (see render/tiled.py): A = fd·m6, B = 2 d·Me, C = c0;
+entry depth t1 = (−B−√Δ)/2A; the reference's midpoint response is
+ρ = exp(B²/4A − (c0+3)).
 
 Backward (hand-derived, division-free):
-with per-layer opacity a_k, color c_k, transmittance T_k = prod_{j<k}(1-a_j)
-and upstream g (radiance) and g_T (transmittance):
+with per-layer opacity aₖ, color cₖ, transmittance Tₖ = Π_{j<k}(1−aⱼ) and
+upstream ḡ (radiance) and ḡ_T (transmittance):
 
-  dL/dc_k = g . T_k a_k
-  dL/da_k = g . T_k (c_k - U_k) - g_T . T_k V_k,
-     U_k = sum_{j>k} prod_{k<i<j}(1-a_i) a_j c_j   (suffix radiance, U_K = 0)
-     V_k = prod_{j>k}(1-a_j)                       (suffix transmittance)
+  ∂L/∂cₖ = ḡ · Tₖ aₖ
+  ∂L/∂aₖ = ḡ · Tₖ (cₖ − Uₖ) − ḡ_T · Tₖ Vₖ,
+     Uₖ = Σ_{j>k} Π_{k<i<j}(1−aᵢ) aⱼ cⱼ   (suffix radiance, U_K = 0)
+     Vₖ = Π_{j>k}(1−aⱼ)                    (suffix transmittance, V_K = 1)
 
-both computed by a reverse sweep with the recurrences U = a c + (1-a) U,
-V = (1-a) V — no division by (1-a), so opacity -> 1 stays finite. Then per
-layer, with alpha = op * exp(q) and q = B^2/4A - (c0+3):
-
-  dq = da * alpha       dop = da * exp(q)
-  dA = -dq u^2          dB = dq u          dc0 = -dq
-
-and the candidate-axis feature gradients come from scattering these onto
-the winners' lanes (one-hot by the saved index) and contracting over the
-pixel axis: dm6 = S_A^T fd, dme = 2 S_B^T d, dsh_ch = S_ch^T y, with plain
-pixel sums for dc0/dop/dcolor. XLA's VJP of the (differentiable) feature
-packing carries the (N+1, F) scatter-add back to the scene parameters.
+both computed by a reverse sweep with the recurrences U = a c + (1−a) U,
+V = (1−a) V — no division by (1−a), so opacity → 1 stays finite. The
+backward kernel runs the same 1-D tile-block grid with two internal sweeps:
+sweep 1 rebuilds the final top-K state *with candidate-slot indices* (same
+chunk-skip predicate as the forward), then the per-layer cotangents come
+from the suffix recurrences, and sweep 2 re-intersects each chunk, masks the
+layer cotangents onto their owning lanes, chains through
+α = op·exp(B²/4A − (c0+3)) and rgb = color + y·sh, and contracts over pixels
+into the chunk's (128, F) feature-gradient slice. Sweep 2 skips a chunk
+entirely (its output slice stays zero) unless one of the block's K winning
+slots actually lives in it — with K ≤ 16 winners in depth-sorted candidate
+order, almost every chunk is skipped. Per-tile feature gradients are
+scatter-added over candidates outside the kernel, and XLA's VJP of the
+(differentiable) feature packing carries them to the scene parameters.
 """
 
 from __future__ import annotations
@@ -88,7 +88,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 F_DIM = 64
 G_DIM = 24
-CHUNK = 128   # candidate-axis alignment required of callers
+CHUNK = 128
 
 
 def _interpret() -> bool:
@@ -96,334 +96,192 @@ def _interpret() -> bool:
 
 
 def _tile_block() -> int:
-    """Tiles per grid step (env-tunable for kbench sweeps). The kernel
-    iterates the block's tiles sequentially in Python at 2-D shapes, so
-    this amortizes per-grid-step fixed cost without giving Mosaic's
-    register allocator a batched-3D graph."""
-    return int(os.environ.get("RTGS_TILE_BLOCK", "4"))
+    """Tiles per grid step (env-tunable for kbench sweeps).
+
+    Default 1: Mosaic unrolls vector ops over the leading block dim, and at
+    tile_block=4 the register allocator explodes (measured 280MB of spill
+    slots vs the chip's 128MB VMEM, ~15-minute compiles); at 1 the forward
+    kernel compiles in ~2s. Per-grid-step overhead is already amortized by
+    the internal chunk loop."""
+    return int(os.environ.get("RTGS_TILE_BLOCK", "1"))
 
 
 def _lane(shape):
     return jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
 
 
-def _lane_f32(shape):
-    # Mosaic's iota is integer-only; cast after.
-    return jax.lax.broadcasted_iota(
-        jnp.int32, shape, len(shape) - 1).astype(jnp.float32)
+def _intersect_t1(feats, pix):
+    """Cheap half of the fwd math: entry depths only.
 
-
-# ---------------------------------------------------------------------------
-# Per-tile forward math (2-D shapes, shared by the kernel body).
-# ---------------------------------------------------------------------------
-
-
-def _tile_intersect(feats, pix):
-    """Full-candidate intersection for one tile.
-
-    feats (C, F) x pix (P, G) -> t1, q, u, r, g, b each (P, C) plus the
-    opacity row (C,). Invalid entries carry t1 = +inf; q = -inf wherever
-    the reference's response is exactly zero (Delta <= 0).
+    feats (B, C, F) × pix (B, P, G) → t1 (B, P, C) (+inf on miss) plus the
+    quadratic pieces (a, b, cq, delta) needed by the shading half.
     """
-    d = pix[:, 0:3]
-    fd = pix[:, 3:9]
-    y = pix[:, 9:24]
-    m6 = feats[:, 0:6]
-    me = feats[:, 6:9]
-    c0 = feats[:, 9]
-    op = feats[:, 10]
-    col = feats[:, 11:14]
+    d = pix[..., 0:3]          # (B, P, 3)
+    fd = pix[..., 3:9]         # (B, P, 6)
+    m6 = feats[..., 0:6]       # (B, C, 6)
+    me = feats[..., 6:9]
+    c0 = feats[..., 9]         # (B, C)
 
-    ct = (((1,), (1,)), ((), ()))
-    a = jax.lax.dot_general(fd, m6, ct,
-                            preferred_element_type=jnp.float32)   # (P, C)
-    b = 2.0 * jax.lax.dot_general(d, me, ct,
+    contract = (((2,), (2,)), ((0,), (0,)))
+    a = jax.lax.dot_general(fd, m6, contract,
+                            preferred_element_type=jnp.float32)   # (B, P, C)
+    b = 2.0 * jax.lax.dot_general(d, me, contract,
                                   preferred_element_type=jnp.float32)
-    cq = c0[None, :]
+    cq = c0[:, None, :]
     delta = b * b - 4.0 * a * cq
     sq = jnp.sqrt(jnp.where(delta > 0, delta, 0.0))
     t1 = (-b - sq) / (2.0 * a)
     valid = (delta >= 0.0) & (t1 > 0.0)
     t1 = jnp.where(valid, t1, jnp.inf)
-    # alpha = op * exp(q); Delta == 0 accepts the hit with response 0,
-    # matching the reference's t2 = inf -> midpoint response 0 quirk.
-    q = jnp.where(delta > 0.0, b * b / (4.0 * a) - (cq + 3.0), -jnp.inf)
-    u = b / (2.0 * a)
+    return t1, a, b, cq, delta
 
+
+def _shade(feats, pix, t1, a, b, cq, delta):
+    """Expensive half: response + view-dependent color.
+
+    α = opacity · exp(B²/4A − (c0+3)) on accepted hits (Δ == 0 accepts with
+    ρ = 0, matching the reference's t2 = inf → midpoint response 0 quirk);
+    rgb = base color + SH basis · coefficients.
+    """
+    y = pix[..., 9:24]         # (B, P, 15)
+    op = feats[..., 10]        # (B, C)
+    col = feats[..., 11:14]    # (B, C, 3)
+
+    rho = jnp.where(delta > 0.0,
+                    jnp.exp(b * b / (4.0 * a) - (cq + 3.0)), 0.0)
+    alpha = jnp.where(jnp.isfinite(t1), op[:, None, :] * rho, 0.0)
+
+    contract = (((2,), (2,)), ((0,), (0,)))
     rgb = []
     for ch in range(3):
-        sh_ch = feats[:, 14 + 15 * ch: 29 + 15 * ch]   # (C, 15)
-        rgb.append(col[:, ch][None, :] + jax.lax.dot_general(
-            y, sh_ch, ct, preferred_element_type=jnp.float32))
-    return t1, q, u, op, rgb[0], rgb[1], rgb[2]
+        sh_ch = feats[..., 14 + 15 * ch: 29 + 15 * ch]  # (B, C, 15)
+        rgb.append(col[..., ch][:, None, :] + jax.lax.dot_general(
+            y, sh_ch, contract, preferred_element_type=jnp.float32))
+    return alpha, rgb[0], rgb[1], rgb[2], rho
 
 
-def _tile_select(depth, t1, q, u, op, r, g, b):
-    """K argmin-extract passes over (P, C): the winner's t1 IS the running
-    minimum, the other five scalars come out by a masked sum over the
-    single winning lane, ties break to the lower lane (the same order as a
-    global argmin peel over the depth-sorted candidate list). Returns the
-    (P, 8K) layer state (lane layout in the module docstring)."""
-    c = t1.shape[-1]
-    lanef = _lane_f32(t1.shape)
-    t1m = t1
-    cols = {name: [] for name in ("t1", "q", "u", "op", "r", "g", "b",
-                                  "idx")}
-    for _k in range(depth):
-        m = jnp.min(t1m, axis=-1, keepdims=True)              # (P, 1)
-        fin = m < jnp.inf
-        sel = (t1m == m) & fin
-        fidx = jnp.min(jnp.where(sel, lanef, float(c)), axis=-1,
-                       keepdims=True)
-        first = (lanef == fidx) & fin
+def _intersect(feats, pix):
+    """Full fwd math (XLA-path oracle + tests): t1, alpha, r, g, b (B,P,C)."""
+    t1, a, b, cq, delta = _intersect_t1(feats, pix)
+    alpha, r, g, bl, rho = _shade(feats, pix, t1, a, b, cq, delta)
+    return t1, alpha, r, g, bl, a, b, rho
 
-        def ext(x):
-            # where-before-sum so -inf/inf lanes never make 0*inf nan.
-            return jnp.sum(jnp.where(first, x, 0.0), axis=-1, keepdims=True)
 
-        cols["t1"].append(m)                                  # inf if vacant
-        cols["q"].append(jnp.where(fin, ext(q), -jnp.inf))
-        cols["u"].append(ext(u))
-        cols["op"].append(ext(op[None, :]))
-        cols["r"].append(ext(r))
-        cols["g"].append(ext(g))
-        cols["b"].append(ext(b))
-        cols["idx"].append(jnp.where(fin, fidx, -1.0))
+def _merge_topk(depth, state, chunk):
+    """Exact top-K merge: ``state`` (tuple of (..., K) arrays, t1 first,
+    sorted ascending) ∪ ``chunk`` (tuple of (..., C) arrays) → new sorted
+    (..., K) state tuple. Ties break to the lower lane, i.e. earlier
+    candidates first — the same order as a global argmin peel (state lanes
+    come first and hold earlier chunks). Field 0 must be t1. Empty layers
+    come back with t1 = +inf and 0 in every payload field, so a later merge
+    treats them as vacant and the composite skips them."""
+    cat = [jnp.concatenate([s, c], axis=-1) for s, c in zip(state, chunk)]
+    t1m = cat[0]
+    nlanes = t1m.shape[-1]
+    lane = _lane(t1m.shape)
+    outs = [jnp.full_like(state[0], jnp.inf)] + [
+        jnp.zeros_like(s) for s in state[1:]]
+
+    # A lax loop, NOT a Python unroll: K unrolled argmin-extract passes give
+    # Mosaic's register allocator a huge straight-line SSA graph — measured
+    # 280MB of spill slots at tile_block=4 (> the chip's 128MB VMEM). The
+    # loop body keeps the live set to cat (loop constants in VMEM) + one
+    # t1m + the K-wide outputs.
+    klane = _lane(state[0].shape)                           # (..., K)
+
+    def body(k, carry):
+        t1m = carry[0]
+        m = jnp.min(t1m, axis=-1, keepdims=True)            # (..., 1)
+        finite = jnp.isfinite(m)
+        sel = (t1m == m) & finite
+        fidx = jnp.min(jnp.where(sel, lane, nlanes), axis=-1, keepdims=True)
+        first = (lane == fidx) & finite
+        at_k = klane == k   # column-k write mask (dynamic_update_slice is
+        new_outs = []       # not lowered for values in Pallas TPU)
+        for fi, (x, o) in enumerate(zip(cat, carry[1:])):
+            # where-before-sum (not fw·x) so inf lanes never make 0·inf nan.
+            v = jnp.sum(jnp.where(first, x, 0.0), axis=-1, keepdims=True)
+            if fi == 0:
+                v = jnp.where(finite, v, jnp.inf)
+            new_outs.append(jnp.where(at_k, v, o))
         t1m = jnp.where(first, jnp.inf, t1m)
+        return (t1m,) + tuple(new_outs)
 
-    return jnp.concatenate(
-        cols["t1"] + cols["q"] + cols["u"] + cols["op"]
-        + cols["r"] + cols["g"] + cols["b"] + cols["idx"], axis=-1)
-
-
-def _empty_layers(p, depth):
-    """Layer state of a tile with no candidates: t1 = +inf, idx = -1,
-    everything else 0 (alpha = op * exp(q) = 0 * 1 = 0)."""
-    return jnp.concatenate([
-        jnp.full((p, depth), jnp.inf, jnp.float32),
-        jnp.zeros((p, 6 * depth), jnp.float32),
-        jnp.full((p, depth), -1.0, jnp.float32),
-    ], axis=-1)
+    carry = jax.lax.fori_loop(0, depth, body, (t1m,) + tuple(outs))
+    return carry[1:]
 
 
-def _fwd_kernel(depth, counts_ref, feats_ref, pix_ref, lay_ref):
-    bt = feats_ref.shape[0]
-    p = pix_ref.shape[1]
-    base = pl.program_id(0) * bt
-    for i in range(bt):
-        cnt = counts_ref[base + i]
-
-        @pl.when(cnt > 0)
-        def _tile(i=i):
-            parts = _tile_intersect(feats_ref[i], pix_ref[i])
-            lay_ref[i] = _tile_select(depth, *parts)
-
-        @pl.when(cnt == 0)
-        def _blank(i=i):
-            lay_ref[i] = _empty_layers(p, depth)
-
-
-def _bwd_kernel(depth, counts_ref, pix_ref, lay_ref, gcot_ref, dfeats_ref):
-    bt = pix_ref.shape[0]
-    c = dfeats_ref.shape[1]
-    for i in range(bt):
-        cnt = counts_ref[pl.program_id(0) * bt + i]
-
-        @pl.when(cnt == 0)
-        def _blank(i=i):
-            dfeats_ref[i] = jnp.zeros_like(dfeats_ref[i])
-
-        @pl.when(cnt > 0)
-        def _tile(i=i):
-            pix = pix_ref[i]
-            d = pix[:, 0:3]
-            fd = pix[:, 3:9]
-            y = pix[:, 9:24]
-            lay = lay_ref[i]                         # (P, 8K)
-            qk = lay[:, 1 * depth:2 * depth]
-            uk = lay[:, 2 * depth:3 * depth]
-            opk = lay[:, 3 * depth:4 * depth]
-            idx = lay[:, 7 * depth:8 * depth]
-            gc = gcot_ref[i]                         # (P, 4K)
-            ga = gc[:, 0 * depth:1 * depth]
-            gwr = gc[:, 1 * depth:2 * depth]
-            gwg = gc[:, 2 * depth:3 * depth]
-            gwb = gc[:, 3 * depth:4 * depth]
-
-            rho = jnp.exp(qk)                        # exp(-inf) = 0: vacant
-            dq = ga * opk * rho                      # and Delta==0 layers
-            dop = ga * rho                           # get exactly 0 here
-            dA = -dq * uk * uk
-            dB = dq * uk
-            dc0 = -dq
-
-            lanef = _lane_f32((pix.shape[0], c))
-            z = jnp.zeros((pix.shape[0], c), jnp.float32)
-            s_a, s_b, s_c, s_op, s_r, s_g, s_bl = z, z, z, z, z, z, z
-            for k in range(depth):
-                onehot = lanef == idx[:, k:k + 1]    # <= 1 lane per pixel
-                s_a = s_a + jnp.where(onehot, dA[:, k:k + 1], 0.0)
-                s_b = s_b + jnp.where(onehot, dB[:, k:k + 1], 0.0)
-                s_c = s_c + jnp.where(onehot, dc0[:, k:k + 1], 0.0)
-                s_op = s_op + jnp.where(onehot, dop[:, k:k + 1], 0.0)
-                s_r = s_r + jnp.where(onehot, gwr[:, k:k + 1], 0.0)
-                s_g = s_g + jnp.where(onehot, gwg[:, k:k + 1], 0.0)
-                s_bl = s_bl + jnp.where(onehot, gwb[:, k:k + 1], 0.0)
-
-            # Contract over the pixel axis (dim 0) into per-candidate grads.
-            ct = (((0,), (0,)), ((), ()))
-            dm6 = jax.lax.dot_general(s_a, fd, ct,
-                                      preferred_element_type=jnp.float32)
-            dme = 2.0 * jax.lax.dot_general(
-                s_b, d, ct, preferred_element_type=jnp.float32)
-            dsh_r = jax.lax.dot_general(s_r, y, ct,
-                                        preferred_element_type=jnp.float32)
-            dsh_g = jax.lax.dot_general(s_g, y, ct,
-                                        preferred_element_type=jnp.float32)
-            dsh_b = jax.lax.dot_general(s_bl, y, ct,
-                                        preferred_element_type=jnp.float32)
-            dfeats_ref[i] = jnp.concatenate([
-                dm6,                                   # 0:6
-                dme,                                   # 6:9
-                jnp.sum(s_c, axis=0)[:, None],         # 9  (c0)
-                jnp.sum(s_op, axis=0)[:, None],        # 10 (opacity)
-                jnp.sum(s_r, axis=0)[:, None],         # 11 (base color r)
-                jnp.sum(s_g, axis=0)[:, None],         # 12
-                jnp.sum(s_bl, axis=0)[:, None],        # 13
-                dsh_r, dsh_g, dsh_b,                   # 14:59
-                jnp.zeros((c, 5), jnp.float32),        # 59:64
-            ], axis=-1)
-
-
-# ---------------------------------------------------------------------------
-# XLA-side wrappers.
-# ---------------------------------------------------------------------------
-
-
-def _counts(candidates):
-    """Per-tile candidate count = last valid slot + 1 (robust to interior
-    -1 gaps; the binning stage emits contiguous prefixes so this is tight)."""
-    t, c = candidates.shape
-    lane = jax.lax.broadcasted_iota(jnp.int32, (t, c), 1)
-    return jnp.max(jnp.where(candidates >= 0, lane + 1, 0), axis=1)
-
-
-def _gather(packed_feats, candidates):
-    n_sentinel = packed_feats.shape[0] - 1
-    safe = jnp.where(candidates >= 0, candidates, n_sentinel)
-    return packed_feats[safe], safe  # (T, C, F)
-
-
-def _block_pad(counts, *arrs):
-    """Pad the tile axis to a multiple of the tile block. Padding tiles get
-    count 0, so the kernel skips them entirely."""
-    t = counts.shape[0]
-    bt = max(1, min(_tile_block(), t))
-    nb = -(-t // bt)
-    pad = nb * bt - t
-    if pad:
-        counts = jnp.pad(counts, (0, pad))
-        arrs = tuple(jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
-                     for x in arrs)
-    return counts, bt, nb, arrs
-
-
-def _pallas_fwd(gathered, counts, pix, depth: int):
-    t, c, f = gathered.shape
-    assert c % CHUNK == 0, c
-    p = pix.shape[1]
-    counts, bt, nb, (gathered, pix) = _block_pad(counts, gathered, pix)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((bt, c, f), lambda i, counts_ref: (i, 0, 0)),
-            pl.BlockSpec((bt, p, G_DIM), lambda i, counts_ref: (i, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((bt, p, 8 * depth),
-                               lambda i, counts_ref: (i, 0, 0)),
-    )
-    lay = pl.pallas_call(
-        functools.partial(_fwd_kernel, depth),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb * bt, p, 8 * depth), jnp.float32),
-        interpret=_interpret(),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
-            vmem_limit_bytes=100 * 1024 * 1024),
-    )(counts, gathered, pix)
-    return lay[:t]
-
-
-def _pallas_bwd(counts, pix, lay, gcot, depth: int, c: int):
-    t, p, _ = pix.shape
-    counts, bt, nb, (pix, lay, gcot) = _block_pad(counts, pix, lay, gcot)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((bt, p, G_DIM), lambda i, counts_ref: (i, 0, 0)),
-            pl.BlockSpec((bt, p, 8 * depth), lambda i, counts_ref: (i, 0, 0)),
-            pl.BlockSpec((bt, p, 4 * depth), lambda i, counts_ref: (i, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((bt, c, F_DIM),
-                               lambda i, counts_ref: (i, 0, 0)),
-    )
-    dfeats = pl.pallas_call(
-        functools.partial(_bwd_kernel, depth),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb * bt, c, F_DIM), jnp.float32),
-        interpret=_interpret(),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
-            vmem_limit_bytes=100 * 1024 * 1024),
-    )(counts, pix, lay, gcot)
-    return dfeats[:t]
-
-
-def _unpack_layers(lay, depth: int):
-    """(…, 8K) layer state -> (t1, alpha, r, g, b) each (…, K)."""
-    t1 = lay[..., 0 * depth:1 * depth]
-    q = lay[..., 1 * depth:2 * depth]
-    op = lay[..., 3 * depth:4 * depth]
-    alpha = op * jnp.exp(q)
-    r = lay[..., 4 * depth:5 * depth]
-    g = lay[..., 5 * depth:6 * depth]
-    b = lay[..., 6 * depth:7 * depth]
-    return t1, alpha, r, g, b
-
-
-def _composite_layers(alpha, r, g, b):
-    """Front-to-back composite over depth-ascending layers:
-    (…, K) x 4 -> radiance (…, 3), transmittance (…,). Tiny (T, P, K)
-    elementwise XLA — fused, negligible next to the kernel."""
-    shape = alpha.shape[:-1] + (1,)
+def _composite(depth, alpha_k, r_k, g_k, b_k):
+    """Front-to-back composite over sorted layers: (..., K) → (..., 1) × 4."""
+    shape = alpha_k.shape[:-1] + (1,)
     rr = jnp.zeros(shape, jnp.float32)
     rg = jnp.zeros(shape, jnp.float32)
     rb = jnp.zeros(shape, jnp.float32)
     tr = jnp.ones(shape, jnp.float32)
-    for k in range(alpha.shape[-1]):
-        a = alpha[..., k:k + 1]
+    for k in range(depth):
+        a = alpha_k[..., k:k + 1]
         w = tr * a
-        rr = rr + w * r[..., k:k + 1]
-        rg = rg + w * g[..., k:k + 1]
-        rb = rb + w * b[..., k:k + 1]
+        rr = rr + w * r_k[..., k:k + 1]
+        rg = rg + w * g_k[..., k:k + 1]
+        rb = rb + w * b_k[..., k:k + 1]
         tr = tr * (1.0 - a)
-    rad = jnp.concatenate([rr, rg, rb], axis=-1)
-    return rad, tr[..., 0]
+    return rr, rg, rb, tr
 
 
-def _layer_cotangents(depth, grad_rad, grad_trans, alpha_k, r_k, g_k, b_k):
-    """Per-layer cotangents via the division-free suffix recurrences
-    (derivation in the module docstring). grad_rad (T, 3, P),
-    grad_trans (T, P); layer arrays (T, P, K). Returns (T, P, 4K):
-    [dL/dalpha_k | dL/dr_k | dL/dg_k | dL/db_k]."""
-    g_r = grad_rad[:, 0, :][..., None]   # (T, P, 1)
-    g_g = grad_rad[:, 1, :][..., None]
-    g_b = grad_rad[:, 2, :][..., None]
-    g_t = grad_trans[..., None]
+def _fwd_kernel(depth, bmax_ref, feats_ref, pix_ref, out_ref,
+                s_t1, s_alpha, s_r, s_g, s_b):
+    # out rows: 0..2 = rgb radiance, 3 = transmittance (packed in one
+    # (B, 4, P) block — Mosaic requires sublane-dim blocks of 8 or the full
+    # array dim, so a separate (B, 1, P) trans output would not lower).
+    i = pl.program_id(0)
+    pix = pix_ref[...]                      # (B, P, G)
+
+    s_t1[...] = jnp.full_like(s_t1, jnp.inf)
+    s_alpha[...] = jnp.zeros_like(s_alpha)
+    s_r[...] = jnp.zeros_like(s_r)
+    s_g[...] = jnp.zeros_like(s_g)
+    s_b[...] = jnp.zeros_like(s_b)
+
+    def chunk_body(c, carry):
+        off = pl.multiple_of(c * CHUNK, CHUNK)
+        feats = feats_ref[:, pl.ds(off, CHUNK), :]   # (B, CHUNK, F)
+        t1, a, b, cq, delta = _intersect_t1(feats, pix)
+        # Worst currently-kept depth; +inf while a pixel's K-list is
+        # unsaturated, so the merge always runs until saturation.
+        kth = s_t1[..., depth - 1:depth]
+
+        @pl.when(jnp.any(t1 < kth))
+        def _merge():
+            alpha, r, g, bl, _ = _shade(feats, pix, t1, a, b, cq, delta)
+            nt1, nalpha, nr, ng, nb = _merge_topk(
+                depth,
+                (s_t1[...], s_alpha[...], s_r[...], s_g[...], s_b[...]),
+                (t1, alpha, r, g, bl))
+            s_t1[...], s_alpha[...] = nt1, nalpha
+            s_r[...], s_g[...], s_b[...] = nr, ng, nb
+
+        return carry
+
+    jax.lax.fori_loop(0, pl.cdiv(bmax_ref[i], CHUNK), chunk_body, 0)
+
+    rr, rg, rb, tr = _composite(
+        depth, s_alpha[...], s_r[...], s_g[...], s_b[...])
+    out_ref[:, 0, :] = rr[..., 0]
+    out_ref[:, 1, :] = rg[..., 0]
+    out_ref[:, 2, :] = rb[..., 0]
+    out_ref[:, 3, :] = tr[..., 0]
+
+
+def _layer_cotangents(depth, grad_out, alpha_k, r_k, g_k, b_k):
+    """Per-layer cotangents via the division-free suffix recurrences.
+
+    grad_out (B, 4, P); layer arrays (B, P, K). Returns
+    (grad_a, gw_r, gw_g, gw_b) each (B, P, K): ∂L/∂αₖ and the color
+    cotangents ḡ_ch · Tₖ aₖ."""
+    g_r = grad_out[:, 0, :][..., None]   # (B, P, 1)
+    g_g = grad_out[:, 1, :][..., None]
+    g_b = grad_out[:, 2, :][..., None]
+    g_t = grad_out[:, 3, :][..., None]
 
     ones = jnp.ones(alpha_k.shape[:-1] + (1,), jnp.float32)
 
@@ -457,25 +315,470 @@ def _layer_cotangents(depth, grad_rad, grad_trans, alpha_k, r_k, g_k, b_k):
         ug = ak * gk + (1.0 - ak) * ug
         ub = ak * bk + (1.0 - ak) * ub
         v = (1.0 - ak) * v
-    return jnp.concatenate(ga + gwr + gwg + gwb, axis=-1)
+    return (jnp.concatenate(ga, -1), jnp.concatenate(gwr, -1),
+            jnp.concatenate(gwg, -1), jnp.concatenate(gwb, -1))
 
 
-# ---------------------------------------------------------------------------
-# Public entry points.
-# ---------------------------------------------------------------------------
+def _bwd_kernel(depth, bmax_ref, feats_ref, pix_ref, grad_out_ref,
+                dfeats_ref, s_t1, s_alpha, s_r, s_g, s_b, s_slot):
+    # grad_out rows: 0..2 = radiance cotangent, 3 = transmittance cotangent.
+    i = pl.program_id(0)
+    pix = pix_ref[...]                      # (B, P, G)
+    nc = pl.cdiv(bmax_ref[i], CHUNK)
+
+    s_t1[...] = jnp.full_like(s_t1, jnp.inf)
+    s_alpha[...] = jnp.zeros_like(s_alpha)
+    s_r[...] = jnp.zeros_like(s_r)
+    s_g[...] = jnp.zeros_like(s_g)
+    s_b[...] = jnp.zeros_like(s_b)
+    s_slot[...] = jnp.full_like(s_slot, -1.0)
+
+    # ---- Sweep 1: rebuild the top-K state, with candidate-slot indices. ----
+    def sweep1(c, carry):
+        off = pl.multiple_of(c * CHUNK, CHUNK)
+        feats = feats_ref[:, pl.ds(off, CHUNK), :]
+        t1, a, b, cq, delta = _intersect_t1(feats, pix)
+        kth = s_t1[..., depth - 1:depth]
+
+        @pl.when(jnp.any(t1 < kth))
+        def _merge():
+            alpha, r, g, bl, _ = _shade(feats, pix, t1, a, b, cq, delta)
+            gslot = (_lane(t1.shape) + c * CHUNK).astype(jnp.float32)
+            nt1, nalpha, nr, ng, nb, nslot = _merge_topk(
+                depth,
+                (s_t1[...], s_alpha[...], s_r[...], s_g[...], s_b[...],
+                 s_slot[...]),
+                (t1, alpha, r, g, bl, gslot))
+            # Empty layers got slot 0 from the masked sum; mark them -1 so
+            # no lane claims their (zero) cotangent in sweep 2.
+            nslot = jnp.where(jnp.isfinite(nt1), nslot, -1.0)
+            s_t1[...], s_alpha[...] = nt1, nalpha
+            s_r[...], s_g[...], s_b[...] = nr, ng, nb
+            s_slot[...] = nslot
+
+        return carry
+
+    jax.lax.fori_loop(0, nc, sweep1, 0)
+
+    ga_k, gwr_k, gwg_k, gwb_k = _layer_cotangents(
+        depth, grad_out_ref[...], s_alpha[...], s_r[...], s_g[...], s_b[...])
+    slot_k = s_slot[...]                     # (B, P, K)
+
+    # ---- Sweep 2: chain cotangents into per-candidate feature grads. ----
+    dfeats_ref[...] = jnp.zeros_like(dfeats_ref)
+
+    def sweep2(c, carry):
+        lo = (c * CHUNK).astype(jnp.float32)
+        hi = lo + CHUNK
+        # Does any winning layer live in this chunk? (slot is -1 for empty
+        # layers, matching no chunk.)
+        has = jnp.any((slot_k >= lo) & (slot_k < hi))
+
+        @pl.when(has)
+        def _compute():
+            off = pl.multiple_of(c * CHUNK, CHUNK)
+            feats = feats_ref[:, pl.ds(off, CHUNK), :]
+            t1, a_quad, b_quad, cq, delta = _intersect_t1(feats, pix)
+            alpha, r, g, bl, rho = _shade(
+                feats, pix, t1, a_quad, b_quad, cq, delta)
+            gslot = (_lane(t1.shape) + c * CHUNK).astype(jnp.float32)
+
+            zc = jnp.zeros_like(t1)
+            gA, gR, gG, gB = zc, zc, zc, zc
+            for k in range(depth):
+                sk = slot_k[..., k:k + 1]
+                onehot = gslot == sk            # ≤1 lane per pixel
+                gA = gA + jnp.where(onehot, ga_k[..., k:k + 1], 0.0)
+                gR = gR + jnp.where(onehot, gwr_k[..., k:k + 1], 0.0)
+                gG = gG + jnp.where(onehot, gwg_k[..., k:k + 1], 0.0)
+                gB = gB + jnp.where(onehot, gwb_k[..., k:k + 1], 0.0)
+
+            # Chain α = op·ρ, ρ = exp(B²/4A − (c0+3)), rgb = col + y·sh.
+            d = pix[..., 0:3]
+            fd = pix[..., 3:9]
+            y = pix[..., 9:24]
+            dA = gA * alpha * (-(b_quad * b_quad)
+                               / (4.0 * a_quad * a_quad))
+            dB = gA * alpha * (b_quad / (2.0 * a_quad))
+            dC0 = -gA * alpha
+            # ∂α/∂op = ρ on accepted hits (mask by acceptance, not α > 0, so
+            # gradient can still revive a low-opacity Gaussian).
+            dOp = gA * rho * jnp.isfinite(t1).astype(jnp.float32)
+
+            # Contract over pixels (dim 1), batched over tiles (dim 0).
+            ct = (((1,), (1,)), ((0,), (0,)))
+            dm6 = jax.lax.dot_general(dA, fd, ct,
+                                      preferred_element_type=jnp.float32)
+            dme = 2.0 * jax.lax.dot_general(
+                dB, d, ct, preferred_element_type=jnp.float32)
+            dsh_r = jax.lax.dot_general(gR, y, ct,
+                                        preferred_element_type=jnp.float32)
+            dsh_g = jax.lax.dot_general(gG, y, ct,
+                                        preferred_element_type=jnp.float32)
+            dsh_b = jax.lax.dot_general(gB, y, ct,
+                                        preferred_element_type=jnp.float32)
+            dblock = jnp.concatenate([
+                dm6,                                   # 0:6
+                dme,                                   # 6:9
+                jnp.sum(dC0, axis=1)[..., None],       # 9
+                jnp.sum(dOp, axis=1)[..., None],       # 10
+                jnp.sum(gR, axis=1)[..., None],        # 11
+                jnp.sum(gG, axis=1)[..., None],        # 12
+                jnp.sum(gB, axis=1)[..., None],        # 13
+                dsh_r, dsh_g, dsh_b,                   # 14:59
+                jnp.zeros(dm6.shape[:-1] + (5,), jnp.float32),  # 59:64
+            ], axis=-1)                                # (B, CHUNK, F)
+            dfeats_ref[:, pl.ds(off, CHUNK), :] = dblock
+
+        return carry
+
+    jax.lax.fori_loop(0, nc, sweep2, 0)
 
 
-def _layers_impl(packed_feats, candidates, pix_feats, depth):
+def _fwd_topk_kernel(depth, bmax_ref, feats_ref, pix_ref, out_ref,
+                     s_t1, s_alpha, s_r, s_g, s_b):
+    """Forward that emits the top-K layer state instead of compositing.
+
+    out lanes: [0:K] t1, [K:2K] alpha, [2K:3K] r, [3K:4K] g, [4K:5K] b —
+    per pixel, depth-ascending. This is the per-shard primitive of the
+    primitive-sharded ring renderer: K-lists from different shards merge by
+    t1 into exactly the global K-list (SURVEY.md §5 long-axis equivalent).
+    """
+    i = pl.program_id(0)
+    pix = pix_ref[...]
+
+    s_t1[...] = jnp.full_like(s_t1, jnp.inf)
+    s_alpha[...] = jnp.zeros_like(s_alpha)
+    s_r[...] = jnp.zeros_like(s_r)
+    s_g[...] = jnp.zeros_like(s_g)
+    s_b[...] = jnp.zeros_like(s_b)
+
+    def chunk_body(c, carry):
+        off = pl.multiple_of(c * CHUNK, CHUNK)
+        feats = feats_ref[:, pl.ds(off, CHUNK), :]
+        t1, a, b, cq, delta = _intersect_t1(feats, pix)
+        kth = s_t1[..., depth - 1:depth]
+
+        @pl.when(jnp.any(t1 < kth))
+        def _merge():
+            alpha, r, g, bl, _ = _shade(feats, pix, t1, a, b, cq, delta)
+            nt1, nalpha, nr, ng, nb = _merge_topk(
+                depth,
+                (s_t1[...], s_alpha[...], s_r[...], s_g[...], s_b[...]),
+                (t1, alpha, r, g, bl))
+            s_t1[...], s_alpha[...] = nt1, nalpha
+            s_r[...], s_g[...], s_b[...] = nr, ng, nb
+
+        return carry
+
+    jax.lax.fori_loop(0, pl.cdiv(bmax_ref[i], CHUNK), chunk_body, 0)
+
+    out_ref[:, :, 0 * depth:1 * depth] = s_t1[...]
+    out_ref[:, :, 1 * depth:2 * depth] = s_alpha[...]
+    out_ref[:, :, 2 * depth:3 * depth] = s_r[...]
+    out_ref[:, :, 3 * depth:4 * depth] = s_g[...]
+    out_ref[:, :, 4 * depth:5 * depth] = s_b[...]
+
+
+def _bwd_topk_kernel(depth, bmax_ref, feats_ref, pix_ref, grad_layers_ref,
+                     dfeats_ref, s_t1, s_alpha, s_r, s_g, s_b, s_slot):
+    """Backward for the top-K-output forward: the caller's autodiff (through
+    the XLA-side merge + composite) supplies the per-layer cotangents
+    directly (grad lanes [0:K] = ∂L/∂αₖ, [K:2K]/[2K:3K]/[3K:4K] = ∂L/∂(rgb)ₖ;
+    the t1 cotangent is identically zero — ordering is piecewise constant),
+    so this kernel is sweep 1 + sweep 2 of ``_bwd_kernel`` without the
+    suffix-recurrence stage."""
+    i = pl.program_id(0)
+    pix = pix_ref[...]
+    nc = pl.cdiv(bmax_ref[i], CHUNK)
+
+    s_t1[...] = jnp.full_like(s_t1, jnp.inf)
+    s_alpha[...] = jnp.zeros_like(s_alpha)
+    s_r[...] = jnp.zeros_like(s_r)
+    s_g[...] = jnp.zeros_like(s_g)
+    s_b[...] = jnp.zeros_like(s_b)
+    s_slot[...] = jnp.full_like(s_slot, -1.0)
+
+    def sweep1(c, carry):
+        off = pl.multiple_of(c * CHUNK, CHUNK)
+        feats = feats_ref[:, pl.ds(off, CHUNK), :]
+        t1, a, b, cq, delta = _intersect_t1(feats, pix)
+        kth = s_t1[..., depth - 1:depth]
+
+        @pl.when(jnp.any(t1 < kth))
+        def _merge():
+            alpha, r, g, bl, _ = _shade(feats, pix, t1, a, b, cq, delta)
+            gslot = (_lane(t1.shape) + c * CHUNK).astype(jnp.float32)
+            nt1, nalpha, nr, ng, nb, nslot = _merge_topk(
+                depth,
+                (s_t1[...], s_alpha[...], s_r[...], s_g[...], s_b[...],
+                 s_slot[...]),
+                (t1, alpha, r, g, bl, gslot))
+            nslot = jnp.where(jnp.isfinite(nt1), nslot, -1.0)
+            s_t1[...], s_alpha[...] = nt1, nalpha
+            s_r[...], s_g[...], s_b[...] = nr, ng, nb
+            s_slot[...] = nslot
+
+        return carry
+
+    jax.lax.fori_loop(0, nc, sweep1, 0)
+
+    gl = grad_layers_ref[...]                    # (B, P, 4K)
+    ga_k = gl[..., 0 * depth:1 * depth]
+    gwr_k = gl[..., 1 * depth:2 * depth]
+    gwg_k = gl[..., 2 * depth:3 * depth]
+    gwb_k = gl[..., 3 * depth:4 * depth]
+    slot_k = s_slot[...]
+
+    dfeats_ref[...] = jnp.zeros_like(dfeats_ref)
+
+    def sweep2(c, carry):
+        lo = (c * CHUNK).astype(jnp.float32)
+        hi = lo + CHUNK
+        has = jnp.any((slot_k >= lo) & (slot_k < hi))
+
+        @pl.when(has)
+        def _compute():
+            off = pl.multiple_of(c * CHUNK, CHUNK)
+            feats = feats_ref[:, pl.ds(off, CHUNK), :]
+            t1, a_quad, b_quad, cq, delta = _intersect_t1(feats, pix)
+            alpha, r, g, bl, rho = _shade(
+                feats, pix, t1, a_quad, b_quad, cq, delta)
+            gslot = (_lane(t1.shape) + c * CHUNK).astype(jnp.float32)
+
+            zc = jnp.zeros_like(t1)
+            gA, gR, gG, gB = zc, zc, zc, zc
+            for k in range(depth):
+                sk = slot_k[..., k:k + 1]
+                onehot = gslot == sk
+                gA = gA + jnp.where(onehot, ga_k[..., k:k + 1], 0.0)
+                gR = gR + jnp.where(onehot, gwr_k[..., k:k + 1], 0.0)
+                gG = gG + jnp.where(onehot, gwg_k[..., k:k + 1], 0.0)
+                gB = gB + jnp.where(onehot, gwb_k[..., k:k + 1], 0.0)
+
+            d = pix[..., 0:3]
+            fd = pix[..., 3:9]
+            y = pix[..., 9:24]
+            dA = gA * alpha * (-(b_quad * b_quad)
+                               / (4.0 * a_quad * a_quad))
+            dB = gA * alpha * (b_quad / (2.0 * a_quad))
+            dC0 = -gA * alpha
+            dOp = gA * rho * jnp.isfinite(t1).astype(jnp.float32)
+
+            ct = (((1,), (1,)), ((0,), (0,)))
+            dm6 = jax.lax.dot_general(dA, fd, ct,
+                                      preferred_element_type=jnp.float32)
+            dme = 2.0 * jax.lax.dot_general(
+                dB, d, ct, preferred_element_type=jnp.float32)
+            dsh_r = jax.lax.dot_general(gR, y, ct,
+                                        preferred_element_type=jnp.float32)
+            dsh_g = jax.lax.dot_general(gG, y, ct,
+                                        preferred_element_type=jnp.float32)
+            dsh_b = jax.lax.dot_general(gB, y, ct,
+                                        preferred_element_type=jnp.float32)
+            dblock = jnp.concatenate([
+                dm6, dme,
+                jnp.sum(dC0, axis=1)[..., None],
+                jnp.sum(dOp, axis=1)[..., None],
+                jnp.sum(gR, axis=1)[..., None],
+                jnp.sum(gG, axis=1)[..., None],
+                jnp.sum(gB, axis=1)[..., None],
+                dsh_r, dsh_g, dsh_b,
+                jnp.zeros(dm6.shape[:-1] + (5,), jnp.float32),
+            ], axis=-1)
+            dfeats_ref[:, pl.ds(off, CHUNK), :] = dblock
+
+        return carry
+
+    jax.lax.fori_loop(0, nc, sweep2, 0)
+
+
+def _pallas_fwd_topk(gathered, counts, pix, depth: int):
+    t, c, f = gathered.shape
+    assert c % CHUNK == 0, c
+    p = pix.shape[1]
+    gathered, bmax, pix, bt, nb, _ = _block_pad(gathered, counts, pix)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((bt, c, f), lambda i, bmax_ref: (i, 0, 0)),
+            pl.BlockSpec((bt, p, G_DIM), lambda i, bmax_ref: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bt, p, 5 * depth),
+                               lambda i, bmax_ref: (i, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((bt, p, depth), jnp.float32)
+                        for _ in range(5)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_fwd_topk_kernel, depth),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb * bt, p, 5 * depth), jnp.float32),
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(bmax, gathered, pix)
+    out = out[:t]
+    return (out[..., 0 * depth:1 * depth], out[..., 1 * depth:2 * depth],
+            out[..., 2 * depth:3 * depth], out[..., 3 * depth:4 * depth],
+            out[..., 4 * depth:5 * depth])
+
+
+def _pallas_bwd_topk(gathered, counts, pix, grad_layers, depth: int):
+    t, c, f = gathered.shape
+    assert c % CHUNK == 0, c
+    p = pix.shape[1]
+    gathered, bmax, pix, bt, nb, (grad_layers,) = _block_pad(
+        gathered, counts, pix, grad_layers)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((bt, c, f), lambda i, bmax_ref: (i, 0, 0)),
+            pl.BlockSpec((bt, p, G_DIM), lambda i, bmax_ref: (i, 0, 0)),
+            pl.BlockSpec((bt, p, 4 * depth), lambda i, bmax_ref: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bt, c, f), lambda i, bmax_ref: (i, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((bt, p, depth), jnp.float32)
+                        for _ in range(6)],
+    )
+    dfeats = pl.pallas_call(
+        functools.partial(_bwd_topk_kernel, depth),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb * bt, c, f), jnp.float32),
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(bmax, gathered, pix, grad_layers)
+    return dfeats[:t]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def peel_topk_pallas(packed_feats, candidates, pix_feats, depth: int):
+    """Fused tile top-K: per-pixel K nearest layers, NOT composited.
+
+    Same inputs as :func:`peel_pallas`; returns ``(t1, alpha, r, g, b)``
+    each ``(T, P, K)`` depth-ascending (misses: t1 = inf, payload 0). Used
+    by the primitive-sharded ring renderer, which merges K-lists across
+    shards in XLA and composites once. Differentiable in alpha/rgb (the t1
+    ordering is piecewise-constant, like ``lax.top_k``)."""
+    return _peel_topk_fwd_impl(packed_feats, candidates, pix_feats, depth)
+
+
+def _peel_topk_fwd_impl(packed_feats, candidates, pix_feats, depth):
     gathered, _ = _gather(packed_feats, candidates)
-    return _pallas_fwd(gathered, _counts(candidates), pix_feats, depth)
+    return _pallas_fwd_topk(gathered, _counts(candidates), pix_feats, depth)
 
 
-def _scatter_dpacked(packed_feats, candidates, dfeats_tiles):
-    """Per-candidate (T, C, F) grads -> (N+1, F) table scatter-add (the
-    sentinel row absorbs padding grads, all zeros anyway)."""
-    _, safe = _gather(packed_feats, candidates)
-    return jnp.zeros_like(packed_feats).at[safe.reshape(-1)].add(
+def _peel_topk_fwd_rule(packed_feats, candidates, pix_feats, depth):
+    out = _peel_topk_fwd_impl(packed_feats, candidates, pix_feats, depth)
+    return out, (packed_feats, candidates, pix_feats)
+
+
+def _peel_topk_bwd_rule(depth, residuals, grads):
+    packed_feats, candidates, pix_feats = residuals
+    _d_t1, d_alpha, d_r, d_g, d_b = grads   # t1 cotangent is structurally 0
+    grad_layers = jnp.concatenate([d_alpha, d_r, d_g, d_b], axis=-1)
+    gathered, safe = _gather(packed_feats, candidates)
+    dfeats_tiles = _pallas_bwd_topk(
+        gathered, _counts(candidates), pix_feats, grad_layers, depth)
+    dpacked = jnp.zeros_like(packed_feats).at[safe.reshape(-1)].add(
         dfeats_tiles.reshape(-1, packed_feats.shape[1]))
+    return dpacked, None, None
+
+
+peel_topk_pallas.defvjp(_peel_topk_fwd_rule, _peel_topk_bwd_rule)
+
+
+def _counts(candidates):
+    """Per-tile candidate count = last valid slot + 1 (robust to interior
+    -1 gaps; the binning stage emits contiguous prefixes so this is tight)."""
+    t, c = candidates.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (t, c), 1)
+    return jnp.max(jnp.where(candidates >= 0, lane + 1, 0), axis=1)
+
+
+def _block_pad(gathered, counts, pix, *extra):
+    """Pad the tile axis to a multiple of the tile block; return per-block
+    max counts (the internal chunk-loop trip count)."""
+    t = gathered.shape[0]
+    bt = max(1, min(_tile_block(), t))
+    nb = -(-t // bt)
+    pad = nb * bt - t
+    if pad:
+        gathered = jnp.pad(gathered, ((0, pad),) + ((0, 0),) * 2)
+        pix = jnp.pad(pix, ((0, pad),) + ((0, 0),) * 2)
+        counts = jnp.pad(counts, (0, pad))
+        extra = tuple(jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+                      for x in extra)
+    bmax = jnp.max(counts.reshape(nb, bt), axis=1)
+    return gathered, bmax, pix, bt, nb, extra
+
+
+def _pallas_fwd(gathered, counts, pix, depth: int):
+    t, c, f = gathered.shape
+    assert c % CHUNK == 0, c
+    p = pix.shape[1]
+    gathered, bmax, pix, bt, nb, _ = _block_pad(gathered, counts, pix)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((bt, c, f), lambda i, bmax_ref: (i, 0, 0)),
+            pl.BlockSpec((bt, p, G_DIM), lambda i, bmax_ref: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bt, 4, p), lambda i, bmax_ref: (i, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((bt, p, depth), jnp.float32)
+                        for _ in range(5)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, depth),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb * bt, 4, p), jnp.float32),
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(bmax, gathered, pix)
+    out = out[:t]
+    return out[:, 0:3, :], out[:, 3, :]
+
+
+def _pallas_bwd(gathered, counts, pix, grad_rad, grad_trans, depth: int):
+    t, c, f = gathered.shape
+    assert c % CHUNK == 0, c
+    p = pix.shape[1]
+    grad_out = jnp.concatenate([grad_rad, grad_trans[:, None, :]], axis=1)
+    gathered, bmax, pix, bt, nb, (grad_out,) = _block_pad(
+        gathered, counts, pix, grad_out)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((bt, c, f), lambda i, bmax_ref: (i, 0, 0)),
+            pl.BlockSpec((bt, p, G_DIM), lambda i, bmax_ref: (i, 0, 0)),
+            pl.BlockSpec((bt, 4, p), lambda i, bmax_ref: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bt, c, f), lambda i, bmax_ref: (i, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((bt, p, depth), jnp.float32)
+                        for _ in range(6)],
+    )
+    dfeats = pl.pallas_call(
+        functools.partial(_bwd_kernel, depth),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb * bt, c, f), jnp.float32),
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(bmax, gathered, pix, grad_out)
+    return dfeats[:t]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -488,145 +791,57 @@ def peel_pallas(packed_feats: jnp.ndarray, candidates: jnp.ndarray,
       packed_feats: (N+1, 64) per-Gaussian features (row N = sentinel).
       candidates: (T, C) int32 candidate indices, -1 padded; C must be a
         multiple of 128. Valid indices should form a contiguous prefix per
-        tile (the binning stage guarantees it).
+        tile (the binning stage guarantees it); interior -1s are correct but
+        forfeit the chunk-skip speedup past them.
       pix_feats: (T, P, 24) per-pixel features; P a multiple of 8.
       depth: composited layers K.
 
     Returns:
       (radiance (T, 3, P), transmittance (T, P)).
     """
-    lay = _layers_impl(packed_feats, candidates, pix_feats, depth)
-    _t1, alpha, r, g, b = _unpack_layers(lay, depth)
-    rad, trans = _composite_layers(alpha, r, g, b)
-    return rad.transpose(0, 2, 1), trans
+    rad, trans = _peel_fwd_impl(packed_feats, candidates, pix_feats, depth)
+    return rad, trans
+
+
+def _gather(packed_feats, candidates):
+    n_sentinel = packed_feats.shape[0] - 1
+    safe = jnp.where(candidates >= 0, candidates, n_sentinel)
+    return packed_feats[safe], safe  # (T, C, F)
+
+
+def _peel_fwd_impl(packed_feats, candidates, pix_feats, depth):
+    gathered, _ = _gather(packed_feats, candidates)
+    return _pallas_fwd(gathered, _counts(candidates), pix_feats, depth)
 
 
 def _peel_fwd_rule(packed_feats, candidates, pix_feats, depth):
-    lay = _layers_impl(packed_feats, candidates, pix_feats, depth)
-    _t1, alpha, r, g, b = _unpack_layers(lay, depth)
-    rad, trans = _composite_layers(alpha, r, g, b)
-    return ((rad.transpose(0, 2, 1), trans),
-            (packed_feats, candidates, pix_feats, lay))
+    out = _peel_fwd_impl(packed_feats, candidates, pix_feats, depth)
+    return out, (packed_feats, candidates, pix_feats)
 
 
 def _peel_bwd_rule(depth, residuals, grads):
-    packed_feats, candidates, pix_feats, lay = residuals
-    grad_rad, grad_trans = grads                       # (T, 3, P), (T, P)
-    _t1, alpha, r, g, b = _unpack_layers(lay, depth)
-    gcot = _layer_cotangents(depth, grad_rad, grad_trans, alpha, r, g, b)
+    packed_feats, candidates, pix_feats = residuals
+    grad_rad, grad_trans = grads
+    gathered, safe = _gather(packed_feats, candidates)
     dfeats_tiles = _pallas_bwd(
-        _counts(candidates), pix_feats, lay, gcot, depth,
-        candidates.shape[1])
-    return _scatter_dpacked(packed_feats, candidates, dfeats_tiles), None, \
-        None
+        gathered, _counts(candidates), pix_feats, grad_rad, grad_trans,
+        depth)  # (T, C, F)
+    # Scatter-add per-candidate grads back to the (N+1, F) table; the
+    # sentinel row absorbs padding grads (all zeros anyway).
+    dpacked = jnp.zeros_like(packed_feats).at[safe.reshape(-1)].add(
+        dfeats_tiles.reshape(-1, packed_feats.shape[1]))
+    return dpacked, None, None
 
 
 peel_pallas.defvjp(_peel_fwd_rule, _peel_bwd_rule)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def peel_topk_pallas(packed_feats, candidates, pix_feats, depth: int):
-    """Fused tile top-K: per-pixel K nearest layers, NOT composited.
-
-    Same inputs as :func:`peel_pallas`; returns ``(t1, alpha, r, g, b)``
-    each ``(T, P, K)`` depth-ascending (misses: t1 = inf, payload 0). Used
-    by the primitive-sharded ring renderer, which merges K-lists across
-    shards in XLA and composites once. Differentiable in alpha/rgb (the t1
-    ordering is piecewise-constant, like ``lax.top_k``)."""
-    lay = _layers_impl(packed_feats, candidates, pix_feats, depth)
-    return _unpack_layers(lay, depth)
-
-
-def _peel_topk_fwd_rule(packed_feats, candidates, pix_feats, depth):
-    lay = _layers_impl(packed_feats, candidates, pix_feats, depth)
-    return (_unpack_layers(lay, depth),
-            (packed_feats, candidates, pix_feats, lay))
-
-
-def _peel_topk_bwd_rule(depth, residuals, grads):
-    packed_feats, candidates, pix_feats, lay = residuals
-    _d_t1, d_alpha, d_r, d_g, d_b = grads   # t1 cotangent is structurally 0
-    gcot = jnp.concatenate([d_alpha, d_r, d_g, d_b], axis=-1)
-    dfeats_tiles = _pallas_bwd(
-        _counts(candidates), pix_feats, lay, gcot, depth,
-        candidates.shape[1])
-    return _scatter_dpacked(packed_feats, candidates, dfeats_tiles), None, \
-        None
-
-
-peel_topk_pallas.defvjp(_peel_topk_fwd_rule, _peel_topk_bwd_rule)
-
-
-def peel_topk_xla(packed_feats, candidates, pix_feats, depth: int):
-    """Identical-semantics top-K via ``jax.lax.top_k`` + autodiff (no
-    Pallas). Ties break to the lower lane, same as the kernel's
-    argmin-extract. Used as the CPU/GPU fallback of :func:`peel_topk` —
-    the Pallas interpreter is orders of magnitude too slow for full-scale
-    scenes on CPU."""
-    gathered, _ = _gather(packed_feats, candidates)
-    t1, alpha, r, g, b = _intersect(gathered, pix_feats)
-    negt, idx = jax.lax.top_k(-t1, depth)
-
-    def take(x):
-        return jnp.take_along_axis(x, idx, axis=-1)
-
-    return -negt, take(alpha), take(r), take(g), take(b)
-
-
-def peel_topk(packed_feats, candidates, pix_feats, depth: int):
-    """Backend dispatcher for the per-tile top-K primitive: the fused
-    Pallas kernel on TPU, the XLA formulation elsewhere."""
-    if jax.default_backend() == "tpu":
-        return peel_topk_pallas(packed_feats, candidates, pix_feats, depth)
-    return peel_topk_xla(packed_feats, candidates, pix_feats, depth)
-
-
-# ---------------------------------------------------------------------------
-# Pure-XLA oracle of the identical math (tests + CPU fallback).
-# ---------------------------------------------------------------------------
-
-
-def _intersect(feats, pix):
-    """Batched full fwd math: t1, alpha, r, g, b (B, P, C). Executed by XLA
-    over (T, C, F) x (T, P, G); the autodiff oracle for the hand-written
-    backward."""
-    d = pix[..., 0:3]
-    fd = pix[..., 3:9]
-    y = pix[..., 9:24]
-    m6 = feats[..., 0:6]
-    me = feats[..., 6:9]
-    c0 = feats[..., 9]
-    op = feats[..., 10]
-    col = feats[..., 11:14]
-
-    contract = (((2,), (2,)), ((0,), (0,)))
-    a = jax.lax.dot_general(fd, m6, contract,
-                            preferred_element_type=jnp.float32)   # (B, P, C)
-    b = 2.0 * jax.lax.dot_general(d, me, contract,
-                                  preferred_element_type=jnp.float32)
-    cq = c0[:, None, :]
-    delta = b * b - 4.0 * a * cq
-    sq = jnp.sqrt(jnp.where(delta > 0, delta, 0.0))
-    t1 = (-b - sq) / (2.0 * a)
-    valid = (delta >= 0.0) & (t1 > 0.0)
-    t1 = jnp.where(valid, t1, jnp.inf)
-    rho = jnp.where(delta > 0.0,
-                    jnp.exp(b * b / (4.0 * a) - (cq + 3.0)), 0.0)
-    alpha = jnp.where(jnp.isfinite(t1), op[:, None, :] * rho, 0.0)
-    rgb = []
-    for ch in range(3):
-        sh_ch = feats[..., 14 + 15 * ch: 29 + 15 * ch]  # (B, C, 15)
-        rgb.append(col[..., ch][:, None, :] + jax.lax.dot_general(
-            y, sh_ch, contract, preferred_element_type=jnp.float32))
-    return t1, alpha, rgb[0], rgb[1], rgb[2]
-
-
 def peel_reference(packed_feats, candidates, pix_feats, depth: int):
-    """Pure-XLA execution of the *identical* kernel math (same quadratic,
-    same selection order), batched over tiles. Used by tests as the
-    autodiff oracle for the hand-written backward, and as a CPU fallback."""
+    """Pure-XLA execution of the *identical* kernel math (same `_intersect`,
+    same selection order), batched over tiles. Used by tests as the autodiff
+    oracle for the hand-written backward, and as a CPU fallback."""
     gathered, _ = _gather(packed_feats, candidates)
-    t1, alpha, r, g, b = _intersect(gathered, pix_feats)
+    t1, alpha, r, g, b, _, _, _ = _intersect(gathered, pix_feats)
     nlanes = t1.shape[-1]
     lane = _lane(t1.shape)
 
@@ -655,3 +870,27 @@ def peel_reference(packed_feats, candidates, pix_feats, depth: int):
         0, depth, body, (t1, zeros, zeros, zeros, ones))
     rad = jnp.concatenate([rr, rg, rb], axis=-1)       # (T, P, 3)
     return rad.transpose(0, 2, 1), tr[..., 0]          # (T, 3, P), (T, P)
+
+
+def peel_topk_xla(packed_feats, candidates, pix_feats, depth: int):
+    """Identical-semantics top-K via ``jax.lax.top_k`` + autodiff (no
+    Pallas). Ties break to the lower lane, same as the kernel's
+    argmin-extract. Used as the CPU/GPU fallback of :func:`peel_topk` —
+    the Pallas interpreter is orders of magnitude too slow for full-scale
+    scenes on CPU."""
+    gathered, _ = _gather(packed_feats, candidates)
+    t1, alpha, r, g, b, _a, _b, _rho = _intersect(gathered, pix_feats)
+    negt, idx = jax.lax.top_k(-t1, depth)
+
+    def take(x):
+        return jnp.take_along_axis(x, idx, axis=-1)
+
+    return -negt, take(alpha), take(r), take(g), take(b)
+
+
+def peel_topk(packed_feats, candidates, pix_feats, depth: int):
+    """Backend dispatcher for the per-tile top-K primitive: the fused
+    Pallas kernel on TPU, the XLA formulation elsewhere."""
+    if jax.default_backend() == "tpu":
+        return peel_topk_pallas(packed_feats, candidates, pix_feats, depth)
+    return peel_topk_xla(packed_feats, candidates, pix_feats, depth)

@@ -70,6 +70,13 @@ def _ring_body(rays: Rays, depth: int, n_prims: int):
 def render_sharded(g: G.Gaussians, rays: Rays, depth: int, mesh: Mesh):
     """Render a flat ray bundle on a ``(rays, prims)`` mesh.
 
+    .. deprecated:: round 3
+        Test/oracle use only — this fans the O(N·P) brute-force oracle
+        around the ring and cannot scale. Production rendering goes through
+        :func:`render_tiled_sharded` (per-shard binning + fused Pallas
+        top-K + ring merge); this entry point stays as the cross-device
+        parity oracle for it.
+
     Args:
       g: scene sharded over ``prims`` (see :func:`shard_scene`); N must be a
         multiple of the prims-axis size.

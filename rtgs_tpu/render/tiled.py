@@ -211,7 +211,7 @@ def _tile_pixel_features(camera: Camera, tile):
 
 @partial(jax.jit, static_argnames=("depth", "tile", "max_candidates",
                                    "max_global", "max_tiles_local",
-                                   "pairs_budget"))
+                                   "pairs_budget", "with_stats"))
 def render_tiled_pallas(
     g: G.Gaussians,
     camera: Camera,
@@ -221,10 +221,19 @@ def render_tiled_pallas(
     max_global: int = 64,
     max_tiles_local=None,
     pairs_budget: int | None = None,
+    with_stats: bool = False,
 ):
     """Full-frame render through the fused Pallas peel kernel
     (``rtgs_tpu/ops/peel.py``). Same semantics as :func:`render_tiled`;
-    differentiable via the kernel's hand-derived backward."""
+    differentiable via the kernel's hand-derived backward.
+
+    With ``with_stats=True`` returns ``(img, stats)`` where ``stats`` is a
+    dict of binning-soundness counters (``live`` candidate pairs placed,
+    ``local_overflow``/``global_overflow`` pairs dropped) computed inside
+    the SAME compiled program — a benchmark that silently dropped
+    candidates would otherwise report a meaningless rays/s number, and a
+    separately-jitted diagnostic costs a full extra multi-minute compile on
+    the tunneled backend (round-2 failure)."""
     from rtgs_tpu.ops.peel import peel_pallas
     from rtgs_tpu.render.binning import tile_candidates
 
@@ -252,7 +261,15 @@ def render_tiled_pallas(
         .reshape(ntx, nty, tw, th, 3)
         .transpose(0, 2, 1, 3, 4)
         .reshape(ntx * tw, nty * th, 3))
-    return img[:w, :h]
+    img = img[:w, :h]
+    if with_stats:
+        stats = {
+            "live": jnp.sum(binning.candidates >= 0),
+            "local_overflow": binning.local_overflow,
+            "global_overflow": binning.global_overflow,
+        }
+        return img, stats
+    return img
 
 
 @partial(jax.jit, static_argnames=("depth", "tile", "max_candidates",

@@ -22,8 +22,20 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # Chipless: force the CPU client for execution plumbing; compile AOT against
-# a TPU topology description.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# a TPU topology description. The image's sitecustomize registers the
+# tunneled-TPU (axon) PJRT plugin at interpreter startup — BEFORE this
+# script runs — and a registered TPU plugin hijacks both
+# ``topologies.get_topology_desc(platform="tpu")`` and Pallas compiles into
+# multi-minute remote tunnel calls. In-script env edits are too late, so
+# re-exec with the axon trigger vars stripped (sitecustomize then skips
+# registration entirely and the local libtpu Mosaic compiler is used).
+if os.environ.get("PALLAS_AXON_POOL_IPS"):
+    env = dict(os.environ)
+    for var in ("PALLAS_AXON_POOL_IPS", "PALLAS_AXON_REMOTE_COMPILE"):
+        env.pop(var, None)
+    env["JAX_PLATFORMS"] = "cpu"
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
 import jax.numpy as jnp
@@ -81,7 +93,9 @@ def main():
     # Force the real Mosaic path even though the backend is CPU.
     peel._interpret = lambda: False
 
-    print(f"tile_block={os.environ.get('RTGS_TILE_BLOCK', '4')} "
+    from rtgs_tpu.ops.peel import _tile_block
+
+    print(f"tile_block={_tile_block()} "
           f"t={t} c={cand.shape[1]} p={p} depth={depth}")
     if which in ("fwd", "all"):
         print("fwd kernel:")

@@ -1,15 +1,18 @@
-"""Cost breakdown of the fused peel kernel by ablation (round-2 kernel).
+"""Cost breakdown of the fused peel kernel by ablation (chunked kernel).
 
-Times pallas kernels of increasing complexity on the same candidate data:
+Times pallas kernels of increasing complexity on the same candidate data,
+all with the production kernel's grid (1-D over tile blocks), block specs,
+scalar-prefetched counts and internal chunk loop:
 
-  empty     — DMA the feats block, touch it, write defaults (per-step
-              overhead + HBM streaming floor)
-  intersect — + the full-candidate quadratic + SH dots (MXU matmuls +
-              elementwise over (P, C))
-  select    — + the K argmin passes extracting only the winner index
-  full      — the production kernel (6-field extraction per pass)
+  empty     — chunk loop only: DMA the feats block, slice each chunk,
+              touch it, write defaults (per-step overhead + HBM floor)
+  intersect — + the per-chunk quadratic (two small matmuls + elementwise)
+  shade     — + the exp/SH shading of every chunk (no merge)
+  full      — the production kernel (shading + top-K merge under the
+              saturation predicate)
 
-Usage: python scripts/kprobe.py [n] [w] [h] [--variants empty,...]
+Usage: python scripts/kprobe.py [n] [w] [h] [--cand 512] [--variants ...]
+Env: RTGS_TILE_BLOCK to sweep the tile-block size.
 """
 
 from __future__ import annotations
@@ -31,60 +34,76 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from rtgs_tpu.ops import peel
-from rtgs_tpu.ops.peel import (CHUNK, G_DIM, _block_pad, _counts, _empty_layers,
-                               _gather, _lane_f32, _tile_intersect,
-                               _tile_select)
+from rtgs_tpu.ops.peel import (CHUNK, G_DIM, _counts, _gather,
+                               _intersect_t1, _merge_topk, _shade,
+                               _tile_block)
 
 
-def _kernel(depth, variant, counts_ref, feats_ref, pix_ref, lay_ref):
-    bt = feats_ref.shape[0]
-    p = pix_ref.shape[1]
-    base = pl.program_id(0) * bt
-    for i in range(bt):
-        cnt = counts_ref[base + i]
+def _kernel(depth, variant, bmax_ref, feats_ref, pix_ref, out_ref,
+            s_t1, s_alpha, s_r, s_g, s_b):
+    i = pl.program_id(0)
+    pix = pix_ref[...]
 
-        @pl.when(cnt > 0)
-        def _tile(i=i):
-            if variant == "empty":
-                lay_ref[i] = (_empty_layers(p, depth)
-                              + feats_ref[i, 0:1, 0:1] * 1e-30)
-                return
-            t1, q, u, op, r, g, b = _tile_intersect(feats_ref[i], pix_ref[i])
-            if variant == "intersect":
-                probe = (jnp.min(t1, -1, keepdims=True)
-                         + 1e-30 * jnp.sum(q + u + r + g + b, -1,
-                                           keepdims=True))
-                lay_ref[i] = _empty_layers(p, depth) + probe * 1e-30
-                return
-            if variant == "select":
-                c = t1.shape[-1]
-                lanef = _lane_f32(t1.shape)
-                t1m = t1
-                cols = []
-                for _k in range(depth):
-                    m = jnp.min(t1m, axis=-1, keepdims=True)
-                    fin = m < jnp.inf
-                    sel = (t1m == m) & fin
-                    fidx = jnp.min(jnp.where(sel, lanef, float(c)), axis=-1,
-                                   keepdims=True)
-                    first = (lanef == fidx) & fin
-                    cols.append(jnp.where(fin, fidx, -1.0))
-                    t1m = jnp.where(first, jnp.inf, t1m)
-                probe = sum(cols) * 1e-30 + 1e-30 * jnp.sum(
-                    q + u + r + g + b, -1, keepdims=True)
-                lay_ref[i] = _empty_layers(p, depth) + probe
-                return
-            lay_ref[i] = _tile_select(depth, t1, q, u, op, r, g, b)
+    s_t1[...] = jnp.full_like(s_t1, jnp.inf)
+    s_alpha[...] = jnp.zeros_like(s_alpha)
+    s_r[...] = jnp.zeros_like(s_r)
+    s_g[...] = jnp.zeros_like(s_g)
+    s_b[...] = jnp.zeros_like(s_b)
 
-        @pl.when(cnt == 0)
-        def _blank(i=i):
-            lay_ref[i] = _empty_layers(p, depth)
+    def chunk_body(c, carry):
+        off = pl.multiple_of(c * CHUNK, CHUNK)
+        feats = feats_ref[:, pl.ds(off, CHUNK), :]
+        if variant == "empty":
+            s_t1[..., 0:1] = jnp.minimum(
+                s_t1[..., 0:1], 1e30 + feats[:, 0:1, 0:1] * 1e-30)
+            return carry
+        t1, a, b, cq, delta = _intersect_t1(feats, pix)
+        if variant == "intersect":
+            s_t1[..., 0:1] = jnp.minimum(
+                s_t1[..., 0:1], jnp.min(t1, -1, keepdims=True))
+            return carry
+        kth = s_t1[..., depth - 1:depth]
+        if variant == "shade":
+            @pl.when(jnp.any(t1 < kth))
+            def _sh():
+                alpha, r, g, bl, _ = _shade(feats, pix, t1, a, b, cq, delta)
+                s_t1[...] = jnp.minimum(
+                    s_t1[...], jnp.min(t1, -1, keepdims=True))
+                s_alpha[..., 0:1] = (
+                    s_alpha[..., 0:1]
+                    + 1e-30 * jnp.sum(alpha + r + g + bl, -1, keepdims=True))
+            return carry
+
+        @pl.when(jnp.any(t1 < kth))
+        def _merge():
+            alpha, r, g, bl, _ = _shade(feats, pix, t1, a, b, cq, delta)
+            nt1, nalpha, nr, ng, nb = _merge_topk(
+                depth,
+                (s_t1[...], s_alpha[...], s_r[...], s_g[...], s_b[...]),
+                (t1, alpha, r, g, bl))
+            s_t1[...], s_alpha[...] = nt1, nalpha
+            s_r[...], s_g[...], s_b[...] = nr, ng, nb
+
+        return carry
+
+    jax.lax.fori_loop(0, pl.cdiv(bmax_ref[i], CHUNK), chunk_body, 0)
+    out_ref[:, 0, :] = s_t1[..., 0]
+    out_ref[:, 1, :] = s_alpha[..., 0]
+    out_ref[:, 2, :] = s_r[..., 0]
+    out_ref[:, 3, :] = s_b[..., 0]
 
 
 def run_variant(variant, gathered, counts, pix, depth):
     t, c, f = gathered.shape
     p = pix.shape[1]
-    counts2, bt, nb, (g2, pix2) = _block_pad(counts, gathered, pix)
+    bt = max(1, min(_tile_block(), t))
+    nb = -(-t // bt)
+    pad = nb * bt - t
+    if pad:
+        counts = jnp.pad(counts, (0, pad))
+        gathered = jnp.pad(gathered, ((0, pad), (0, 0), (0, 0)))
+        pix = jnp.pad(pix, ((0, pad), (0, 0), (0, 0)))
+    bmax = jnp.max(counts.reshape(nb, bt), axis=1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
@@ -92,18 +111,23 @@ def run_variant(variant, gathered, counts, pix, depth):
             pl.BlockSpec((bt, c, f), lambda i, cr: (i, 0, 0)),
             pl.BlockSpec((bt, p, G_DIM), lambda i, cr: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((bt, p, 8 * depth), lambda i, cr: (i, 0, 0)),
+        out_specs=pl.BlockSpec((bt, 4, p), lambda i, cr: (i, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((bt, p, depth), jnp.float32)] * 5,
     )
     fn = pl.pallas_call(
         functools.partial(_kernel, depth, variant),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb * bt, p, 8 * depth), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nb * bt, 4, p), jnp.float32),
         interpret=peel._interpret(),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
             vmem_limit_bytes=100 * 1024 * 1024),
     )
-    return jax.jit(lambda: fn(counts2, g2, pix2))
+    # The arrays MUST be jit *arguments*: a zero-arg lambda closes over
+    # them as HLO constants, and the tunneled remote compiler rejects the
+    # resulting multi-hundred-MB request with HTTP 413.
+    jitted = jax.jit(fn)
+    return functools.partial(jitted, bmax, gathered, pix)
 
 
 def readback_floor(x):
@@ -139,7 +163,7 @@ def main():
     ap.add_argument("--cand", type=int, default=512)
     ap.add_argument("--glob", type=int, default=128)
     ap.add_argument("--variants", type=str,
-                    default="empty,intersect,select,full")
+                    default="empty,intersect,shade,full")
     ap.add_argument("--iters", type=int, default=8)
     args = ap.parse_args()
 
@@ -175,7 +199,7 @@ def main():
     counts = _counts(cand)
     print(f"# device={jax.devices()[0]} tiles={cand.shape[0]} "
           f"cand={cand.shape[1]} mean_count={float(jnp.mean(counts)):.0f} "
-          f"tb={os.environ.get('RTGS_TILE_BLOCK', '4')}")
+          f"tb={_tile_block()}")
 
     floor = readback_floor(gathered)
     print(f"# readback floor {floor*1e3:.1f} ms")
