@@ -106,6 +106,15 @@ def _tile_block() -> int:
     return int(os.environ.get("RTGS_TILE_BLOCK", "1"))
 
 
+def _merge_mode() -> str:
+    """Top-K merge implementation: "bitonic" (default — sorting network of
+    lane rolls/selects, ~1 cycle/vreg-op on v5e) or "argmin" (K fori_loop
+    argmin-extract passes; kept for A/B benchmarking — each pass chains
+    cross-lane reductions and one merge costs ~20us, scripts/kmicro.py
+    `merge16`)."""
+    return os.environ.get("RTGS_MERGE", "bitonic")
+
+
 def _lane(shape):
     return jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
 
@@ -167,6 +176,80 @@ def _intersect(feats, pix):
     return t1, alpha, r, g, bl, a, b, rho
 
 
+def _shade_q(feats, pix, t1, a, b, cq, delta):
+    """Log-domain shading for the bitonic merge path: instead of
+    α = op·exp(q) over the whole (P, C) chunk, carry
+    ``qa = q + log(op)`` (α = exp(qa)) so the transcendental runs only on
+    the K winners at composite time. ``qa = −inf`` for rejected hits and
+    the Δ == 0 → ρ = 0 quirk; the log runs on the (B, C) opacity row, not
+    the (B, P, C) block. rgb is the same MXU matmuls as :func:`_shade`."""
+    y = pix[..., 9:24]
+    op = feats[..., 10]        # (B, C)
+    col = feats[..., 11:14]
+
+    qa = jnp.where(
+        (delta > 0.0) & jnp.isfinite(t1),
+        b * b / (4.0 * a) - (cq + 3.0) + jnp.log(op)[:, None, :],
+        -jnp.inf)
+
+    contract = (((2,), (2,)), ((0,), (0,)))
+    rgb = []
+    for ch in range(3):
+        sh_ch = feats[..., 14 + 15 * ch: 29 + 15 * ch]  # (B, C, 15)
+        rgb.append(col[..., ch][:, None, :] + jax.lax.dot_general(
+            y, sh_ch, contract, preferred_element_type=jnp.float32))
+    return qa, rgb[0], rgb[1], rgb[2]
+
+
+def _alpha_of(t1_k, qa_k):
+    """α = exp(qa) on the K winners; vacant layers (t1 = +inf) contribute 0
+    regardless of their qa payload (the argmin extract leaves 0 there, the
+    bitonic merge leaves whatever sorted in)."""
+    return jnp.where(jnp.isfinite(t1_k), jnp.exp(qa_k), 0.0)
+
+
+def _merge_topk_bitonic(depth, state, chunk, base):
+    """Exact top-K merge via sorting networks (no cross-lane reductions).
+
+    state: (t1, ord, *payload) tuples of (..., K) arrays, sorted ascending
+      by (t1, ord); ``ord`` is the global candidate slot as f32 (vacant
+      lanes: t1 = +inf, ord = +inf).
+    chunk: (t1, *payload) tuples of (..., C) arrays (C a power of two).
+    base: traced int32 — global slot of the chunk's lane 0.
+
+    Ties break to the lower global slot — identical to the argmin-extract
+    merge's "state lanes first, then chunk lane order" and to the
+    reference's first-seen-nearest rule (scene.py:429-437).
+    """
+    from rtgs_tpu.ops.lanesort import (merge_sorted, reverse_half,
+                                       sort_by_key)
+
+    use_pltpu = not _interpret()
+    st1, sord = state[0], state[1]
+    spay = tuple(state[2:])
+    ct1 = chunk[0]
+    cpay = tuple(chunk[1:])
+
+    lanef = _lane(ct1.shape).astype(jnp.float32)
+    ct1s, cords, cpays = sort_by_key(ct1, lanef, cpay, use_pltpu)
+    ct1k = ct1s[..., :depth]
+    cordk = cords[..., :depth] + base.astype(jnp.float32)
+    # Chunk misses sorted to the tail carry t1 = +inf; give them ord = +inf
+    # too so they also lose ties against vacant state lanes deterministically.
+    cordk = jnp.where(jnp.isfinite(ct1k), cordk, jnp.inf)
+    cpayk = tuple(x[..., :depth] for x in cpays)
+
+    def bitonic_cat(s, c):
+        return reverse_half(jnp.concatenate([s, c], axis=-1), use_pltpu)
+
+    mt1 = bitonic_cat(st1, ct1k)
+    mord = bitonic_cat(sord, cordk)
+    mpay = tuple(bitonic_cat(s, c) for s, c in zip(spay, cpayk))
+    mt1, mord, mpay = merge_sorted(mt1, mord, mpay, use_pltpu)
+    return (mt1[..., :depth], mord[..., :depth]) + tuple(
+        x[..., :depth] for x in mpay)
+
+
 def _merge_topk(depth, state, chunk):
     """Exact top-K merge: ``state`` (tuple of (..., K) arrays, t1 first,
     sorted ascending) ∪ ``chunk`` (tuple of (..., C) arrays) → new sorted
@@ -211,8 +294,10 @@ def _merge_topk(depth, state, chunk):
     return carry[1:]
 
 
-def _composite(depth, alpha_k, r_k, g_k, b_k):
-    """Front-to-back composite over sorted layers: (..., K) → (..., 1) × 4."""
+def _composite(depth, t1_k, qa_k, r_k, g_k, b_k):
+    """Front-to-back composite over sorted layers: (..., K) → (..., 1) × 4.
+    Layers carry qa (α = exp(qa)); vacant layers (t1 = +inf) contribute 0."""
+    alpha_k = _alpha_of(t1_k, qa_k)
     shape = alpha_k.shape[:-1] + (1,)
     rr = jnp.zeros(shape, jnp.float32)
     rg = jnp.zeros(shape, jnp.float32)
@@ -228,8 +313,35 @@ def _composite(depth, alpha_k, r_k, g_k, b_k):
     return rr, rg, rb, tr
 
 
+def _state_merge(depth, c, pix, feats, t1, a, b, cq, delta,
+                 s_t1, s_qa, s_r, s_g, s_b, s_ord):
+    """Shared per-chunk merge body (fwd + topk kernels): shade in the log
+    domain, then merge into the scratch state with the selected merge
+    implementation. ``s_ord`` tracks global candidate slots (f32; +inf =
+    vacant) — the bitonic path's tie-break key, and exactly the bwd
+    sweep's slot field."""
+    qa, r, g, bl = _shade_q(feats, pix, t1, a, b, cq, delta)
+    if _merge_mode() == "bitonic":
+        nt1, nord, nqa, nr, ng, nb = _merge_topk_bitonic(
+            depth,
+            (s_t1[...], s_ord[...], s_qa[...], s_r[...], s_g[...],
+             s_b[...]),
+            (t1, qa, r, g, bl), c * CHUNK)
+        s_ord[...] = nord
+    else:
+        gslot = (_lane(t1.shape) + c * CHUNK).astype(jnp.float32)
+        nt1, nqa, nr, ng, nb, nord = _merge_topk(
+            depth,
+            (s_t1[...], s_qa[...], s_r[...], s_g[...], s_b[...],
+             s_ord[...]),
+            (t1, qa, r, g, bl, gslot))
+        s_ord[...] = jnp.where(jnp.isfinite(nt1), nord, jnp.inf)
+    s_t1[...], s_qa[...] = nt1, nqa
+    s_r[...], s_g[...], s_b[...] = nr, ng, nb
+
+
 def _fwd_kernel(depth, bmax_ref, feats_ref, pix_ref, out_ref,
-                s_t1, s_alpha, s_r, s_g, s_b):
+                s_t1, s_qa, s_r, s_g, s_b, s_ord):
     # out rows: 0..2 = rgb radiance, 3 = transmittance (packed in one
     # (B, 4, P) block — Mosaic requires sublane-dim blocks of 8 or the full
     # array dim, so a separate (B, 1, P) trans output would not lower).
@@ -237,10 +349,11 @@ def _fwd_kernel(depth, bmax_ref, feats_ref, pix_ref, out_ref,
     pix = pix_ref[...]                      # (B, P, G)
 
     s_t1[...] = jnp.full_like(s_t1, jnp.inf)
-    s_alpha[...] = jnp.zeros_like(s_alpha)
+    s_qa[...] = jnp.full_like(s_qa, -jnp.inf)
     s_r[...] = jnp.zeros_like(s_r)
     s_g[...] = jnp.zeros_like(s_g)
     s_b[...] = jnp.zeros_like(s_b)
+    s_ord[...] = jnp.full_like(s_ord, jnp.inf)
 
     def chunk_body(c, carry):
         off = pl.multiple_of(c * CHUNK, CHUNK)
@@ -252,20 +365,15 @@ def _fwd_kernel(depth, bmax_ref, feats_ref, pix_ref, out_ref,
 
         @pl.when(jnp.any(t1 < kth))
         def _merge():
-            alpha, r, g, bl, _ = _shade(feats, pix, t1, a, b, cq, delta)
-            nt1, nalpha, nr, ng, nb = _merge_topk(
-                depth,
-                (s_t1[...], s_alpha[...], s_r[...], s_g[...], s_b[...]),
-                (t1, alpha, r, g, bl))
-            s_t1[...], s_alpha[...] = nt1, nalpha
-            s_r[...], s_g[...], s_b[...] = nr, ng, nb
+            _state_merge(depth, c, pix, feats, t1, a, b, cq, delta,
+                         s_t1, s_qa, s_r, s_g, s_b, s_ord)
 
         return carry
 
     jax.lax.fori_loop(0, pl.cdiv(bmax_ref[i], CHUNK), chunk_body, 0)
 
     rr, rg, rb, tr = _composite(
-        depth, s_alpha[...], s_r[...], s_g[...], s_b[...])
+        depth, s_t1[...], s_qa[...], s_r[...], s_g[...], s_b[...])
     out_ref[:, 0, :] = rr[..., 0]
     out_ref[:, 1, :] = rg[..., 0]
     out_ref[:, 2, :] = rb[..., 0]
@@ -320,20 +428,21 @@ def _layer_cotangents(depth, grad_out, alpha_k, r_k, g_k, b_k):
 
 
 def _bwd_kernel(depth, bmax_ref, feats_ref, pix_ref, grad_out_ref,
-                dfeats_ref, s_t1, s_alpha, s_r, s_g, s_b, s_slot):
+                dfeats_ref, s_t1, s_qa, s_r, s_g, s_b, s_slot):
     # grad_out rows: 0..2 = radiance cotangent, 3 = transmittance cotangent.
     i = pl.program_id(0)
     pix = pix_ref[...]                      # (B, P, G)
     nc = pl.cdiv(bmax_ref[i], CHUNK)
 
     s_t1[...] = jnp.full_like(s_t1, jnp.inf)
-    s_alpha[...] = jnp.zeros_like(s_alpha)
+    s_qa[...] = jnp.full_like(s_qa, -jnp.inf)
     s_r[...] = jnp.zeros_like(s_r)
     s_g[...] = jnp.zeros_like(s_g)
     s_b[...] = jnp.zeros_like(s_b)
-    s_slot[...] = jnp.full_like(s_slot, -1.0)
+    s_slot[...] = jnp.full_like(s_slot, jnp.inf)
 
-    # ---- Sweep 1: rebuild the top-K state, with candidate-slot indices. ----
+    # ---- Sweep 1: rebuild the top-K state, with candidate-slot indices
+    # (s_slot doubles as the merge's global-ord tie-break key). ----
     def sweep1(c, carry):
         off = pl.multiple_of(c * CHUNK, CHUNK)
         feats = feats_ref[:, pl.ds(off, CHUNK), :]
@@ -342,27 +451,19 @@ def _bwd_kernel(depth, bmax_ref, feats_ref, pix_ref, grad_out_ref,
 
         @pl.when(jnp.any(t1 < kth))
         def _merge():
-            alpha, r, g, bl, _ = _shade(feats, pix, t1, a, b, cq, delta)
-            gslot = (_lane(t1.shape) + c * CHUNK).astype(jnp.float32)
-            nt1, nalpha, nr, ng, nb, nslot = _merge_topk(
-                depth,
-                (s_t1[...], s_alpha[...], s_r[...], s_g[...], s_b[...],
-                 s_slot[...]),
-                (t1, alpha, r, g, bl, gslot))
-            # Empty layers got slot 0 from the masked sum; mark them -1 so
-            # no lane claims their (zero) cotangent in sweep 2.
-            nslot = jnp.where(jnp.isfinite(nt1), nslot, -1.0)
-            s_t1[...], s_alpha[...] = nt1, nalpha
-            s_r[...], s_g[...], s_b[...] = nr, ng, nb
-            s_slot[...] = nslot
+            _state_merge(depth, c, pix, feats, t1, a, b, cq, delta,
+                         s_t1, s_qa, s_r, s_g, s_b, s_slot)
 
         return carry
 
     jax.lax.fori_loop(0, nc, sweep1, 0)
 
+    alpha_k = _alpha_of(s_t1[...], s_qa[...])
     ga_k, gwr_k, gwg_k, gwb_k = _layer_cotangents(
-        depth, grad_out_ref[...], s_alpha[...], s_r[...], s_g[...], s_b[...])
-    slot_k = s_slot[...]                     # (B, P, K)
+        depth, grad_out_ref[...], alpha_k, s_r[...], s_g[...], s_b[...])
+    # Vacant layers carry slot +inf from the merge; mark them -1 so no
+    # lane claims their (zero) cotangent in sweep 2.
+    slot_k = jnp.where(jnp.isfinite(s_t1[...]), s_slot[...], -1.0)
 
     # ---- Sweep 2: chain cotangents into per-candidate feature grads. ----
     dfeats_ref[...] = jnp.zeros_like(dfeats_ref)
@@ -436,7 +537,7 @@ def _bwd_kernel(depth, bmax_ref, feats_ref, pix_ref, grad_out_ref,
 
 
 def _fwd_topk_kernel(depth, bmax_ref, feats_ref, pix_ref, out_ref,
-                     s_t1, s_alpha, s_r, s_g, s_b):
+                     s_t1, s_qa, s_r, s_g, s_b, s_ord):
     """Forward that emits the top-K layer state instead of compositing.
 
     out lanes: [0:K] t1, [K:2K] alpha, [2K:3K] r, [3K:4K] g, [4K:5K] b —
@@ -448,10 +549,11 @@ def _fwd_topk_kernel(depth, bmax_ref, feats_ref, pix_ref, out_ref,
     pix = pix_ref[...]
 
     s_t1[...] = jnp.full_like(s_t1, jnp.inf)
-    s_alpha[...] = jnp.zeros_like(s_alpha)
+    s_qa[...] = jnp.full_like(s_qa, -jnp.inf)
     s_r[...] = jnp.zeros_like(s_r)
     s_g[...] = jnp.zeros_like(s_g)
     s_b[...] = jnp.zeros_like(s_b)
+    s_ord[...] = jnp.full_like(s_ord, jnp.inf)
 
     def chunk_body(c, carry):
         off = pl.multiple_of(c * CHUNK, CHUNK)
@@ -461,27 +563,22 @@ def _fwd_topk_kernel(depth, bmax_ref, feats_ref, pix_ref, out_ref,
 
         @pl.when(jnp.any(t1 < kth))
         def _merge():
-            alpha, r, g, bl, _ = _shade(feats, pix, t1, a, b, cq, delta)
-            nt1, nalpha, nr, ng, nb = _merge_topk(
-                depth,
-                (s_t1[...], s_alpha[...], s_r[...], s_g[...], s_b[...]),
-                (t1, alpha, r, g, bl))
-            s_t1[...], s_alpha[...] = nt1, nalpha
-            s_r[...], s_g[...], s_b[...] = nr, ng, nb
+            _state_merge(depth, c, pix, feats, t1, a, b, cq, delta,
+                         s_t1, s_qa, s_r, s_g, s_b, s_ord)
 
         return carry
 
     jax.lax.fori_loop(0, pl.cdiv(bmax_ref[i], CHUNK), chunk_body, 0)
 
     out_ref[:, :, 0 * depth:1 * depth] = s_t1[...]
-    out_ref[:, :, 1 * depth:2 * depth] = s_alpha[...]
+    out_ref[:, :, 1 * depth:2 * depth] = _alpha_of(s_t1[...], s_qa[...])
     out_ref[:, :, 2 * depth:3 * depth] = s_r[...]
     out_ref[:, :, 3 * depth:4 * depth] = s_g[...]
     out_ref[:, :, 4 * depth:5 * depth] = s_b[...]
 
 
 def _bwd_topk_kernel(depth, bmax_ref, feats_ref, pix_ref, grad_layers_ref,
-                     dfeats_ref, s_t1, s_alpha, s_r, s_g, s_b, s_slot):
+                     dfeats_ref, s_t1, s_qa, s_r, s_g, s_b, s_slot):
     """Backward for the top-K-output forward: the caller's autodiff (through
     the XLA-side merge + composite) supplies the per-layer cotangents
     directly (grad lanes [0:K] = ∂L/∂αₖ, [K:2K]/[2K:3K]/[3K:4K] = ∂L/∂(rgb)ₖ;
@@ -493,11 +590,11 @@ def _bwd_topk_kernel(depth, bmax_ref, feats_ref, pix_ref, grad_layers_ref,
     nc = pl.cdiv(bmax_ref[i], CHUNK)
 
     s_t1[...] = jnp.full_like(s_t1, jnp.inf)
-    s_alpha[...] = jnp.zeros_like(s_alpha)
+    s_qa[...] = jnp.full_like(s_qa, -jnp.inf)
     s_r[...] = jnp.zeros_like(s_r)
     s_g[...] = jnp.zeros_like(s_g)
     s_b[...] = jnp.zeros_like(s_b)
-    s_slot[...] = jnp.full_like(s_slot, -1.0)
+    s_slot[...] = jnp.full_like(s_slot, jnp.inf)
 
     def sweep1(c, carry):
         off = pl.multiple_of(c * CHUNK, CHUNK)
@@ -507,17 +604,8 @@ def _bwd_topk_kernel(depth, bmax_ref, feats_ref, pix_ref, grad_layers_ref,
 
         @pl.when(jnp.any(t1 < kth))
         def _merge():
-            alpha, r, g, bl, _ = _shade(feats, pix, t1, a, b, cq, delta)
-            gslot = (_lane(t1.shape) + c * CHUNK).astype(jnp.float32)
-            nt1, nalpha, nr, ng, nb, nslot = _merge_topk(
-                depth,
-                (s_t1[...], s_alpha[...], s_r[...], s_g[...], s_b[...],
-                 s_slot[...]),
-                (t1, alpha, r, g, bl, gslot))
-            nslot = jnp.where(jnp.isfinite(nt1), nslot, -1.0)
-            s_t1[...], s_alpha[...] = nt1, nalpha
-            s_r[...], s_g[...], s_b[...] = nr, ng, nb
-            s_slot[...] = nslot
+            _state_merge(depth, c, pix, feats, t1, a, b, cq, delta,
+                         s_t1, s_qa, s_r, s_g, s_b, s_slot)
 
         return carry
 
@@ -528,7 +616,7 @@ def _bwd_topk_kernel(depth, bmax_ref, feats_ref, pix_ref, grad_layers_ref,
     gwr_k = gl[..., 1 * depth:2 * depth]
     gwg_k = gl[..., 2 * depth:3 * depth]
     gwb_k = gl[..., 3 * depth:4 * depth]
-    slot_k = s_slot[...]
+    slot_k = jnp.where(jnp.isfinite(s_t1[...]), s_slot[...], -1.0)
 
     dfeats_ref[...] = jnp.zeros_like(dfeats_ref)
 
@@ -609,7 +697,7 @@ def _pallas_fwd_topk(gathered, counts, pix, depth: int):
         out_specs=pl.BlockSpec((bt, p, 5 * depth),
                                lambda i, bmax_ref: (i, 0, 0)),
         scratch_shapes=[pltpu.VMEM((bt, p, depth), jnp.float32)
-                        for _ in range(5)],
+                        for _ in range(6)],
     )
     out = pl.pallas_call(
         functools.partial(_fwd_topk_kernel, depth),
@@ -734,7 +822,7 @@ def _pallas_fwd(gathered, counts, pix, depth: int):
         ],
         out_specs=pl.BlockSpec((bt, 4, p), lambda i, bmax_ref: (i, 0, 0)),
         scratch_shapes=[pltpu.VMEM((bt, p, depth), jnp.float32)
-                        for _ in range(5)],
+                        for _ in range(6)],
     )
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, depth),

