@@ -64,6 +64,12 @@ def _add_common_flags(p: argparse.ArgumentParser):
     p.add_argument("--renderer",
                    choices=["auto", "oracle", "tiled", "pallas"],
                    default="auto")
+    p.add_argument("--max-candidates", type=int, default=None,
+                   help="Per-tile candidate budget for the tiled/pallas "
+                        "renderers (default 512; raise until the reported "
+                        "overflow is 0 — e.g. 4096 for 1M splats at 1080p).")
+    p.add_argument("--pairs-budget", type=int, default=None,
+                   help="Binning pair-buffer budget (default 8N).")
     p.add_argument("-v", "--bvh", type=int, default=1024,
                    help="BVH node budget (reference __main__.py:72-78 "
                         "parity; the tile-binned pipeline needs no BVH, so "
@@ -132,7 +138,12 @@ def _render(g, cam, args):
 
     from rtgs_tpu.render.api import render
 
-    return render(g, cam, depth=args.depth, renderer=args.renderer)
+    kw = {}
+    if getattr(args, "max_candidates", None):
+        kw["max_candidates"] = args.max_candidates
+    if getattr(args, "pairs_budget", None):
+        kw["pairs_budget"] = args.pairs_budget
+    return render(g, cam, depth=args.depth, renderer=args.renderer, **kw)
 
 
 def cmd_render(args):

@@ -4,37 +4,39 @@ This is the hot path the BASELINE.json north star names: "per-ray Gaussian
 intersection, depth-ordered hit sorting, and front-to-back alpha compositing
 become fused Pallas kernels with a hand-derived backward pass". Each screen
 tile streams its candidate list through VMEM in chunks of 128, maintaining an
-exact per-pixel top-K (K = ``depth``) nearest-hit state in VMEM scratch —
-top-K of a union is the top-K of (top-K, next chunk), so the result is
-identical to a global depth-peel while VMEM usage stays bounded by the chunk,
-not the candidate count (the reference instead launches one kernel per
-*layer* and re-traverses its BVH each time,
+exact per-pixel top-K (K = ``depth``) nearest-hit state in the chunk loop's
+carry — top-K of a union is the top-K of (top-K, next chunk), so the result
+is identical to a global depth-peel while VMEM usage stays bounded by the
+chunk, not the candidate count (the reference instead launches one kernel
+per *layer* and re-traverses its BVH each time,
 ``/root/reference/src/rtgs/ray_tracer.py:50-54``).
 
-Performance architecture (round 2 — the round-1 kernel ran a 2-D
-``(tiles, chunks)`` grid whose ~18k tiny grid steps were dominated by fixed
-per-step cost):
+Performance architecture (round 3 — every claim measured on a v5e chip via
+scripts/kmicro.py + scripts/kprobe.py + scripts/stageprobe.py):
 
   * The grid is one-dimensional over **blocks of BT tiles** (``parallel`` —
-    tiles are independent). Each block's whole candidate feature array rides
-    in as a single (BT, C, F) VMEM block (Pallas double-buffers it across
-    steps, overlapping the HBM DMA with compute), and the kernel loops over
-    128-wide candidate chunks *internally* with a ``fori_loop`` whose trip
-    count is ``ceil(max-count-in-block / 128)`` from per-block counts passed
-    as **scalar prefetch** — empty tails cost nothing.
-  * Because the binning stage emits candidates sorted by center depth
-    (nearest first, ``rtgs_tpu/render/binning.py``), a chunk can only change
-    the top-K state if some candidate's entry depth beats the current K-th
-    nearest. The kernel computes the cheap quadratic (two small matmuls) for
-    every active chunk but runs the expensive part — the exp/SH shading and
-    the top-K merge — only under an ``any(t1 < kth)`` predicate
-    (``pl.when``). After the state saturates, typical chunks cost two
-    batched (P×6)/(P×3) matmuls and a compare-reduce.
-  * The top-K merge runs as a ``fori_loop`` of K argmin-extract passes
-    with iota-masked column writes (a Python unroll hands Mosaic's register
-    allocator a huge straight-line graph — measured 280MB of spill slots);
-    the small composite/cotangent loops stay unrolled. Cross-chunk state
-    lives in VMEM scratch.
+    tiles are independent; per-grid-step fixed cost measured ~1.5us).
+    Each block's whole candidate feature array rides in as a single
+    (BT, C, F) VMEM block (Pallas double-buffers it across steps), and the
+    kernel loops over 128-wide candidate chunks *internally* with a
+    ``fori_loop`` whose trip count is ``ceil(max-count-in-block / 128)``
+    from per-block counts passed as **scalar prefetch** — padding and
+    empty tails cost nothing, so the per-tile candidate budget can be
+    sized for zero overflow for free.
+  * Every chunk runs intersect + shade + merge UNCONDITIONALLY with the
+    state in the loop carry. Round 2 predicated the merge on
+    ``any(t1 < kth)`` with state in VMEM scratch; measurement killed it:
+    at bench density 98% of chunks pass the predicate anyway, and a large
+    ``pl.when`` region costs ~7x its unpredicated body (123us vs ~17us) —
+    the region boundary + scratch RMW serialize Mosaic's pipeline.
+  * Shading is log-domain: the state carries ``qa = B²/4A − eᵀMe +
+    log(opacity)`` so ``exp`` runs on (P, K) winners at composite time,
+    never on the (P, C) candidate field.
+  * The top-K merge is switchable (``RTGS_MERGE``): K argmin-extract
+    ``fori_loop`` passes (measured ~10us; NEVER a Python unroll — that
+    spilled 280MB of registers in round 2) or a bitonic sorting network
+    (ops/lanesort.py, ~17us — lane rotations are slower than the
+    reductions they replace on this backend, kept for A/B).
 
 Feature packing (F = 64 lanes):
   [0:6]   Σ⁻¹ packed sym6 (m00, m01, m02, m11, m12, m22)
@@ -107,12 +109,12 @@ def _tile_block() -> int:
 
 
 def _merge_mode() -> str:
-    """Top-K merge implementation: "bitonic" (default — sorting network of
-    lane rolls/selects, ~1 cycle/vreg-op on v5e) or "argmin" (K fori_loop
-    argmin-extract passes; kept for A/B benchmarking — each pass chains
-    cross-lane reductions and one merge costs ~20us, scripts/kmicro.py
-    `merge16`)."""
-    return os.environ.get("RTGS_MERGE", "bitonic")
+    """Top-K merge implementation: "argmin" (default — K fori_loop
+    argmin-extract passes, measured ~10us per merge in carry-state form)
+    or "bitonic" (ops/lanesort.py sorting network, measured ~17us — lane
+    rotations on this backend cost more than the cross-lane reductions
+    they replace; kept for A/B and for backends where that flips)."""
+    return os.environ.get("RTGS_MERGE", "argmin")
 
 
 def _lane(shape):
@@ -313,67 +315,174 @@ def _composite(depth, t1_k, qa_k, r_k, g_k, b_k):
     return rr, rg, rb, tr
 
 
-def _state_merge(depth, c, pix, feats, t1, a, b, cq, delta,
-                 s_t1, s_qa, s_r, s_g, s_b, s_ord):
-    """Shared per-chunk merge body (fwd + topk kernels): shade in the log
-    domain, then merge into the scratch state with the selected merge
-    implementation. ``s_ord`` tracks global candidate slots (f32; +inf =
-    vacant) — the bitonic path's tie-break key, and exactly the bwd
-    sweep's slot field."""
+def _init_state(bt, p, depth):
+    """Empty top-K state tuple (t1, ord, qa, r, g, b), each (bt, p, K)."""
+    inf = jnp.full((bt, p, depth), jnp.inf, jnp.float32)
+    zero = jnp.zeros((bt, p, depth), jnp.float32)
+    return (inf, inf, -inf, zero, zero, zero)
+
+
+def _init_keys(bt, p, depth):
+    """Empty (t1, ord) key state, each (bt, p, K); ord +inf = vacant."""
+    inf = jnp.full((bt, p, depth), jnp.inf, jnp.float32)
+    return (inf, inf)
+
+
+def _peel_mode() -> str:
+    """Chunk-sweep structure: "fused" (default — one sweep, the full
+    (t1, ord, qa, rgb) state merged per chunk) or "twophase" (keys-only
+    merge + payload-extraction sweep). Two-phase looked better on the
+    liveness model but measures 3x WORSE on the tunneled v5e (960ms vs
+    280ms fwd at 100k@384p): per-fori-iteration work in the extraction
+    loops costs ~40x the vreg model there, regardless of op type. Kept
+    switchable because the model says it should win on a sane backend."""
+    return os.environ.get("RTGS_PEEL", "fused")
+
+
+def _chunk_update(depth, c, pix, feats_ref, st):
+    """Fused chunk step: intersect + log-domain shade + full-state top-K
+    merge, unconditionally, state in the fori_loop carry. The measured
+    production configuration (656k rays/s fwd+bwd at 100k@384p)."""
+    off = pl.multiple_of(c * CHUNK, CHUNK)
+    feats = feats_ref[:, pl.ds(off, CHUNK), :]   # (B, CHUNK, F)
+    t1, a, b, cq, delta = _intersect_t1(feats, pix)
     qa, r, g, bl = _shade_q(feats, pix, t1, a, b, cq, delta)
     if _merge_mode() == "bitonic":
-        nt1, nord, nqa, nr, ng, nb = _merge_topk_bitonic(
-            depth,
-            (s_t1[...], s_ord[...], s_qa[...], s_r[...], s_g[...],
-             s_b[...]),
-            (t1, qa, r, g, bl), c * CHUNK)
-        s_ord[...] = nord
-    else:
-        gslot = (_lane(t1.shape) + c * CHUNK).astype(jnp.float32)
-        nt1, nqa, nr, ng, nb, nord = _merge_topk(
-            depth,
-            (s_t1[...], s_qa[...], s_r[...], s_g[...], s_b[...],
-             s_ord[...]),
-            (t1, qa, r, g, bl, gslot))
-        s_ord[...] = jnp.where(jnp.isfinite(nt1), nord, jnp.inf)
-    s_t1[...], s_qa[...] = nt1, nqa
-    s_r[...], s_g[...], s_b[...] = nr, ng, nb
+        return _merge_topk_bitonic(depth, st, (t1, qa, r, g, bl), c * CHUNK)
+    gslot = (_lane(t1.shape) + c * CHUNK).astype(jnp.float32)
+    nt1, nqa, nr, ng, nb, nord = _merge_topk(
+        depth, (st[0], st[2], st[3], st[4], st[5], st[1]),
+        (t1, qa, r, g, bl, gslot))
+    return (nt1, jnp.where(jnp.isfinite(nt1), nord, jnp.inf),
+            nqa, nr, ng, nb)
 
 
-def _fwd_kernel(depth, bmax_ref, feats_ref, pix_ref, out_ref,
-                s_t1, s_qa, s_r, s_g, s_b, s_ord):
+def _keys_update(depth, c, pix, feats_ref, st):
+    """Phase-1 chunk step: intersect + top-K merge of the (t1, global ord)
+    KEYS ONLY, state in the fori_loop carry, unconditionally.
+
+    Measured motivation (round 3, scripts/kprobe.py + kmicro.py on v5e):
+    a chunk body whose live set holds ≥ 4 (P, C) arrays (t1 + qa + rgb)
+    collapses Mosaic's codegen ~20x — shading's qa-part and SH-dots each
+    cost < 4us/chunk alone but 81us together — while a 2-array body runs
+    at sum-of-parts speed. Payload extraction therefore moves to a second
+    sweep over the same chunks (:func:`_extract_update`); the saturation
+    predicate of rounds 1-2 is gone because 98% of chunks passed it anyway
+    and a taken `pl.when` region costs ~7x its body."""
+    off = pl.multiple_of(c * CHUNK, CHUNK)
+    feats = feats_ref[:, pl.ds(off, CHUNK), :]   # (B, CHUNK, F)
+    t1, _a, _b, _cq, _delta = _intersect_t1(feats, pix)
+    if _merge_mode() == "bitonic":
+        nt1, nord = _merge_topk_bitonic(depth, st, (t1,), c * CHUNK)[:2]
+        return nt1, nord
+    gslot = (_lane(t1.shape) + c * CHUNK).astype(jnp.float32)
+    nt1, nord = _merge_topk(depth, st, (t1, gslot))
+    return nt1, jnp.where(jnp.isfinite(nt1), nord, jnp.inf)
+
+
+def _extract_update(depth, c, pix, feats_ref, slot_k, ext):
+    """Phase-2 chunk step: re-shade the chunk and gather each winning
+    layer's payload by its saved global ord. Runs over the same ``nc``
+    chunks as phase 1, unconditionally.
+
+    Deliberately sequenced to keep ≤ ~5 (P, C) arrays live at any point —
+    the measured Mosaic codegen cliff (see :func:`_keys_update`): first a
+    single CLAIM matrix M (layer index + 1 of the winning layer, else 0),
+    then one payload field at a time, recomputed from the feats block and
+    folded into the (B, P, K) accumulators through M."""
+    off = pl.multiple_of(c * CHUNK, CHUNK)
+    feats = feats_ref[:, pl.ds(off, CHUNK), :]
+    p_shape = (slot_k.shape[0], pix.shape[1], CHUNK)
+    gslot = (_lane(p_shape) + c * CHUNK).astype(jnp.float32)
+    klane = jax.lax.broadcasted_iota(jnp.int32, slot_k.shape, 2)
+
+    def claim_body(k, m):
+        kk = klane == k
+        sk = jnp.sum(jnp.where(kk, slot_k, 0.0), axis=-1, keepdims=True)
+        return jnp.where(gslot == sk, (k + 1).astype(jnp.float32), m)
+
+    m = jax.lax.fori_loop(
+        0, depth, claim_body, jnp.zeros(p_shape, jnp.float32))
+
+    # Lane-axis reductions run as MXU matvecs against a ones vector —
+    # measured free (scripts/kmicro.py `matvec_ones`) where the VPU
+    # cross-lane reduce costs ~5us in this loop context.
+    ones_c = jnp.ones((CHUNK, 8), jnp.float32)
+    red_ct = (((2,), (0,)), ((), ()))
+
+    def extract_field(x, acc):
+        def body(k, acc):
+            masked = jnp.where(m == (k + 1).astype(jnp.float32), x, 0.0)
+            v = jax.lax.dot_general(
+                masked, ones_c, red_ct,
+                preferred_element_type=jnp.float32)[..., 0:1]
+            return jnp.where(klane == k, acc + v, acc)
+
+        return jax.lax.fori_loop(0, depth, body, acc)
+
+    e_qa, e_r, e_g, e_b = ext
+
+    # qa = B²/4A − (c0+3) + log(op); −inf on rejects (Δ ≤ 0 or invalid t1).
+    t1, a, b, cq, delta = _intersect_t1(feats, pix)
+    op = feats[..., 10]
+    qa = jnp.where(
+        (delta > 0.0) & jnp.isfinite(t1),
+        b * b / (4.0 * a) - (cq + 3.0) + jnp.log(op)[:, None, :],
+        -jnp.inf)
+    # A claimed vacant-lane qa of −inf must not poison the accumulator
+    # (acc starts at −inf only for qa); claims only exist on real winners,
+    # so sum-extraction is exact — but −inf + 0 stays −inf, so seed qa's
+    # accumulator with 0 where a claim exists, handled by ext init below.
+    e_qa = extract_field(qa, e_qa)
+    del t1, a, b, delta
+
+    y = pix[..., 9:24]
+    col3 = feats[..., 11:14]
+    ct = (((2,), (2,)), ((0,), (0,)))
+    for ch, acc_in in ((0, e_r), (1, e_g), (2, e_b)):
+        sh_ch = feats[..., 14 + 15 * ch: 29 + 15 * ch]
+        rgb = col3[..., ch][:, None, :] + jax.lax.dot_general(
+            y, sh_ch, ct, preferred_element_type=jnp.float32)
+        out = extract_field(rgb, acc_in)
+        if ch == 0:
+            e_r = out
+        elif ch == 1:
+            e_g = out
+        else:
+            e_b = out
+    return (e_qa, e_r, e_g, e_b)
+
+
+def _peel_state(depth, nc, pix, feats_ref):
+    """The per-tile chunk sweep(s) — see :func:`_peel_mode`. Returns the
+    layer state (t1, ord, qa, r, g, b), each (B, P, K); vacant layers
+    carry qa = 0 or −inf — callers mask alpha by isfinite(t1)."""
+    bt, p = pix.shape[0], pix.shape[1]
+    if _peel_mode() != "twophase":
+        return jax.lax.fori_loop(
+            0, nc, lambda c, st: _chunk_update(depth, c, pix, feats_ref, st),
+            _init_state(bt, p, depth))
+    keys = jax.lax.fori_loop(
+        0, nc, lambda c, st: _keys_update(depth, c, pix, feats_ref, st),
+        _init_keys(bt, p, depth))
+    zero = jnp.zeros((bt, p, depth), jnp.float32)
+    ext = jax.lax.fori_loop(
+        0, nc,
+        lambda c, e: _extract_update(depth, c, pix, feats_ref, keys[1], e),
+        (zero, zero, zero, zero))
+    return (keys[0], keys[1]) + ext
+
+
+def _fwd_kernel(depth, bmax_ref, feats_ref, pix_ref, out_ref):
     # out rows: 0..2 = rgb radiance, 3 = transmittance (packed in one
     # (B, 4, P) block — Mosaic requires sublane-dim blocks of 8 or the full
     # array dim, so a separate (B, 1, P) trans output would not lower).
     i = pl.program_id(0)
     pix = pix_ref[...]                      # (B, P, G)
 
-    s_t1[...] = jnp.full_like(s_t1, jnp.inf)
-    s_qa[...] = jnp.full_like(s_qa, -jnp.inf)
-    s_r[...] = jnp.zeros_like(s_r)
-    s_g[...] = jnp.zeros_like(s_g)
-    s_b[...] = jnp.zeros_like(s_b)
-    s_ord[...] = jnp.full_like(s_ord, jnp.inf)
+    st = _peel_state(depth, pl.cdiv(bmax_ref[i], CHUNK), pix, feats_ref)
 
-    def chunk_body(c, carry):
-        off = pl.multiple_of(c * CHUNK, CHUNK)
-        feats = feats_ref[:, pl.ds(off, CHUNK), :]   # (B, CHUNK, F)
-        t1, a, b, cq, delta = _intersect_t1(feats, pix)
-        # Worst currently-kept depth; +inf while a pixel's K-list is
-        # unsaturated, so the merge always runs until saturation.
-        kth = s_t1[..., depth - 1:depth]
-
-        @pl.when(jnp.any(t1 < kth))
-        def _merge():
-            _state_merge(depth, c, pix, feats, t1, a, b, cq, delta,
-                         s_t1, s_qa, s_r, s_g, s_b, s_ord)
-
-        return carry
-
-    jax.lax.fori_loop(0, pl.cdiv(bmax_ref[i], CHUNK), chunk_body, 0)
-
-    rr, rg, rb, tr = _composite(
-        depth, s_t1[...], s_qa[...], s_r[...], s_g[...], s_b[...])
+    rr, rg, rb, tr = _composite(depth, st[0], st[2], st[3], st[4], st[5])
     out_ref[:, 0, :] = rr[..., 0]
     out_ref[:, 1, :] = rg[..., 0]
     out_ref[:, 2, :] = rb[..., 0]
@@ -428,42 +537,23 @@ def _layer_cotangents(depth, grad_out, alpha_k, r_k, g_k, b_k):
 
 
 def _bwd_kernel(depth, bmax_ref, feats_ref, pix_ref, grad_out_ref,
-                dfeats_ref, s_t1, s_qa, s_r, s_g, s_b, s_slot):
+                dfeats_ref):
     # grad_out rows: 0..2 = radiance cotangent, 3 = transmittance cotangent.
     i = pl.program_id(0)
     pix = pix_ref[...]                      # (B, P, G)
+    bt, p = pix.shape[0], pix.shape[1]
     nc = pl.cdiv(bmax_ref[i], CHUNK)
 
-    s_t1[...] = jnp.full_like(s_t1, jnp.inf)
-    s_qa[...] = jnp.full_like(s_qa, -jnp.inf)
-    s_r[...] = jnp.zeros_like(s_r)
-    s_g[...] = jnp.zeros_like(s_g)
-    s_b[...] = jnp.zeros_like(s_b)
-    s_slot[...] = jnp.full_like(s_slot, jnp.inf)
+    # ---- Sweep 1+1.5: rebuild the top-K keys, then extract payloads
+    # (same two-phase structure as the forward — see _peel_state). ----
+    st = _peel_state(depth, nc, pix, feats_ref)
 
-    # ---- Sweep 1: rebuild the top-K state, with candidate-slot indices
-    # (s_slot doubles as the merge's global-ord tie-break key). ----
-    def sweep1(c, carry):
-        off = pl.multiple_of(c * CHUNK, CHUNK)
-        feats = feats_ref[:, pl.ds(off, CHUNK), :]
-        t1, a, b, cq, delta = _intersect_t1(feats, pix)
-        kth = s_t1[..., depth - 1:depth]
-
-        @pl.when(jnp.any(t1 < kth))
-        def _merge():
-            _state_merge(depth, c, pix, feats, t1, a, b, cq, delta,
-                         s_t1, s_qa, s_r, s_g, s_b, s_slot)
-
-        return carry
-
-    jax.lax.fori_loop(0, nc, sweep1, 0)
-
-    alpha_k = _alpha_of(s_t1[...], s_qa[...])
+    alpha_k = _alpha_of(st[0], st[2])
     ga_k, gwr_k, gwg_k, gwb_k = _layer_cotangents(
-        depth, grad_out_ref[...], alpha_k, s_r[...], s_g[...], s_b[...])
+        depth, grad_out_ref[...], alpha_k, st[3], st[4], st[5])
     # Vacant layers carry slot +inf from the merge; mark them -1 so no
     # lane claims their (zero) cotangent in sweep 2.
-    slot_k = jnp.where(jnp.isfinite(s_t1[...]), s_slot[...], -1.0)
+    slot_k = jnp.where(jnp.isfinite(st[0]), st[1], -1.0)
 
     # ---- Sweep 2: chain cotangents into per-candidate feature grads. ----
     dfeats_ref[...] = jnp.zeros_like(dfeats_ref)
@@ -536,8 +626,7 @@ def _bwd_kernel(depth, bmax_ref, feats_ref, pix_ref, grad_out_ref,
     jax.lax.fori_loop(0, nc, sweep2, 0)
 
 
-def _fwd_topk_kernel(depth, bmax_ref, feats_ref, pix_ref, out_ref,
-                     s_t1, s_qa, s_r, s_g, s_b, s_ord):
+def _fwd_topk_kernel(depth, bmax_ref, feats_ref, pix_ref, out_ref):
     """Forward that emits the top-K layer state instead of compositing.
 
     out lanes: [0:K] t1, [K:2K] alpha, [2K:3K] r, [3K:4K] g, [4K:5K] b —
@@ -547,38 +636,19 @@ def _fwd_topk_kernel(depth, bmax_ref, feats_ref, pix_ref, out_ref,
     """
     i = pl.program_id(0)
     pix = pix_ref[...]
+    bt, p = pix.shape[0], pix.shape[1]
 
-    s_t1[...] = jnp.full_like(s_t1, jnp.inf)
-    s_qa[...] = jnp.full_like(s_qa, -jnp.inf)
-    s_r[...] = jnp.zeros_like(s_r)
-    s_g[...] = jnp.zeros_like(s_g)
-    s_b[...] = jnp.zeros_like(s_b)
-    s_ord[...] = jnp.full_like(s_ord, jnp.inf)
+    st = _peel_state(depth, pl.cdiv(bmax_ref[i], CHUNK), pix, feats_ref)
 
-    def chunk_body(c, carry):
-        off = pl.multiple_of(c * CHUNK, CHUNK)
-        feats = feats_ref[:, pl.ds(off, CHUNK), :]
-        t1, a, b, cq, delta = _intersect_t1(feats, pix)
-        kth = s_t1[..., depth - 1:depth]
-
-        @pl.when(jnp.any(t1 < kth))
-        def _merge():
-            _state_merge(depth, c, pix, feats, t1, a, b, cq, delta,
-                         s_t1, s_qa, s_r, s_g, s_b, s_ord)
-
-        return carry
-
-    jax.lax.fori_loop(0, pl.cdiv(bmax_ref[i], CHUNK), chunk_body, 0)
-
-    out_ref[:, :, 0 * depth:1 * depth] = s_t1[...]
-    out_ref[:, :, 1 * depth:2 * depth] = _alpha_of(s_t1[...], s_qa[...])
-    out_ref[:, :, 2 * depth:3 * depth] = s_r[...]
-    out_ref[:, :, 3 * depth:4 * depth] = s_g[...]
-    out_ref[:, :, 4 * depth:5 * depth] = s_b[...]
+    out_ref[:, :, 0 * depth:1 * depth] = st[0]
+    out_ref[:, :, 1 * depth:2 * depth] = _alpha_of(st[0], st[2])
+    out_ref[:, :, 2 * depth:3 * depth] = st[3]
+    out_ref[:, :, 3 * depth:4 * depth] = st[4]
+    out_ref[:, :, 4 * depth:5 * depth] = st[5]
 
 
 def _bwd_topk_kernel(depth, bmax_ref, feats_ref, pix_ref, grad_layers_ref,
-                     dfeats_ref, s_t1, s_qa, s_r, s_g, s_b, s_slot):
+                     dfeats_ref):
     """Backward for the top-K-output forward: the caller's autodiff (through
     the XLA-side merge + composite) supplies the per-layer cotangents
     directly (grad lanes [0:K] = ∂L/∂αₖ, [K:2K]/[2K:3K]/[3K:4K] = ∂L/∂(rgb)ₖ;
@@ -587,36 +657,17 @@ def _bwd_topk_kernel(depth, bmax_ref, feats_ref, pix_ref, grad_layers_ref,
     suffix-recurrence stage."""
     i = pl.program_id(0)
     pix = pix_ref[...]
+    bt, p = pix.shape[0], pix.shape[1]
     nc = pl.cdiv(bmax_ref[i], CHUNK)
 
-    s_t1[...] = jnp.full_like(s_t1, jnp.inf)
-    s_qa[...] = jnp.full_like(s_qa, -jnp.inf)
-    s_r[...] = jnp.zeros_like(s_r)
-    s_g[...] = jnp.zeros_like(s_g)
-    s_b[...] = jnp.zeros_like(s_b)
-    s_slot[...] = jnp.full_like(s_slot, jnp.inf)
-
-    def sweep1(c, carry):
-        off = pl.multiple_of(c * CHUNK, CHUNK)
-        feats = feats_ref[:, pl.ds(off, CHUNK), :]
-        t1, a, b, cq, delta = _intersect_t1(feats, pix)
-        kth = s_t1[..., depth - 1:depth]
-
-        @pl.when(jnp.any(t1 < kth))
-        def _merge():
-            _state_merge(depth, c, pix, feats, t1, a, b, cq, delta,
-                         s_t1, s_qa, s_r, s_g, s_b, s_slot)
-
-        return carry
-
-    jax.lax.fori_loop(0, nc, sweep1, 0)
+    st = _peel_state(depth, nc, pix, feats_ref)
 
     gl = grad_layers_ref[...]                    # (B, P, 4K)
     ga_k = gl[..., 0 * depth:1 * depth]
     gwr_k = gl[..., 1 * depth:2 * depth]
     gwg_k = gl[..., 2 * depth:3 * depth]
     gwb_k = gl[..., 3 * depth:4 * depth]
-    slot_k = jnp.where(jnp.isfinite(s_t1[...]), s_slot[...], -1.0)
+    slot_k = jnp.where(jnp.isfinite(st[0]), st[1], -1.0)
 
     dfeats_ref[...] = jnp.zeros_like(dfeats_ref)
 
@@ -696,8 +747,6 @@ def _pallas_fwd_topk(gathered, counts, pix, depth: int):
         ],
         out_specs=pl.BlockSpec((bt, p, 5 * depth),
                                lambda i, bmax_ref: (i, 0, 0)),
-        scratch_shapes=[pltpu.VMEM((bt, p, depth), jnp.float32)
-                        for _ in range(6)],
     )
     out = pl.pallas_call(
         functools.partial(_fwd_topk_kernel, depth),
@@ -730,8 +779,6 @@ def _pallas_bwd_topk(gathered, counts, pix, grad_layers, depth: int):
             pl.BlockSpec((bt, p, 4 * depth), lambda i, bmax_ref: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((bt, c, f), lambda i, bmax_ref: (i, 0, 0)),
-        scratch_shapes=[pltpu.VMEM((bt, p, depth), jnp.float32)
-                        for _ in range(6)],
     )
     dfeats = pl.pallas_call(
         functools.partial(_bwd_topk_kernel, depth),
@@ -821,8 +868,6 @@ def _pallas_fwd(gathered, counts, pix, depth: int):
             pl.BlockSpec((bt, p, G_DIM), lambda i, bmax_ref: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((bt, 4, p), lambda i, bmax_ref: (i, 0, 0)),
-        scratch_shapes=[pltpu.VMEM((bt, p, depth), jnp.float32)
-                        for _ in range(6)],
     )
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, depth),
@@ -854,8 +899,6 @@ def _pallas_bwd(gathered, counts, pix, grad_rad, grad_trans, depth: int):
             pl.BlockSpec((bt, 4, p), lambda i, bmax_ref: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((bt, c, f), lambda i, bmax_ref: (i, 0, 0)),
-        scratch_shapes=[pltpu.VMEM((bt, p, depth), jnp.float32)
-                        for _ in range(6)],
     )
     dfeats = pl.pallas_call(
         functools.partial(_bwd_kernel, depth),

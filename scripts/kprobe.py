@@ -34,63 +34,100 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from rtgs_tpu.ops import peel
-from rtgs_tpu.ops.peel import (CHUNK, G_DIM, _counts, _gather,
-                               _intersect_t1, _merge_topk, _shade,
+from rtgs_tpu.ops.peel import (CHUNK, G_DIM, _counts, _gather, _lane,
+                               _intersect_t1, _merge_topk, _shade_q,
                                _tile_block)
 
 
-def _kernel(depth, variant, bmax_ref, feats_ref, pix_ref, out_ref,
-            s_t1, s_alpha, s_r, s_g, s_b):
+def _kernel(depth, variant, bmax_ref, feats_ref, pix_ref, out_ref):
+    from rtgs_tpu.ops.peel import (_chunk_update, _init_state, _composite,
+                                   _merge_topk, _shade_q)
+
     i = pl.program_id(0)
     pix = pix_ref[...]
+    bt, p = pix.shape[0], pix.shape[1]
+    nc = pl.cdiv(bmax_ref[i], CHUNK)
 
-    s_t1[...] = jnp.full_like(s_t1, jnp.inf)
-    s_alpha[...] = jnp.zeros_like(s_alpha)
-    s_r[...] = jnp.zeros_like(s_r)
-    s_g[...] = jnp.zeros_like(s_g)
-    s_b[...] = jnp.zeros_like(s_b)
+    if variant == "prod":
+        st = jax.lax.fori_loop(
+            0, nc, lambda c, st: _chunk_update(depth, c, pix, feats_ref, st),
+            _init_state(bt, p, depth))
+        rr, rg, rb, tr = _composite(depth, st[0], st[2], st[3], st[4], st[5])
+        out_ref[:, 0, :] = rr[..., 0]
+        out_ref[:, 1, :] = rg[..., 0]
+        out_ref[:, 2, :] = rb[..., 0]
+        out_ref[:, 3, :] = tr[..., 0]
+        return
 
-    def chunk_body(c, carry):
+    if variant == "prod_static":
+        cmax = feats_ref.shape[1] // CHUNK
+        st = jax.lax.fori_loop(
+            0, cmax, lambda c, st: _chunk_update(depth, c, pix, feats_ref, st),
+            _init_state(bt, p, depth))
+        rr, rg, rb, tr = _composite(depth, st[0], st[2], st[3], st[4], st[5])
+        out_ref[:, 0, :] = rr[..., 0]
+        out_ref[:, 1, :] = rg[..., 0]
+        out_ref[:, 2, :] = rb[..., 0]
+        out_ref[:, 3, :] = tr[..., 0]
+        return
+
+    def chunk_partial(c, st):
         off = pl.multiple_of(c * CHUNK, CHUNK)
         feats = feats_ref[:, pl.ds(off, CHUNK), :]
-        if variant == "empty":
-            s_t1[..., 0:1] = jnp.minimum(
-                s_t1[..., 0:1], 1e30 + feats[:, 0:1, 0:1] * 1e-30)
-            return carry
         t1, a, b, cq, delta = _intersect_t1(feats, pix)
         if variant == "intersect":
-            s_t1[..., 0:1] = jnp.minimum(
-                s_t1[..., 0:1], jnp.min(t1, -1, keepdims=True))
-            return carry
-        kth = s_t1[..., depth - 1:depth]
-        if variant == "shade":
-            @pl.when(jnp.any(t1 < kth))
-            def _sh():
-                alpha, r, g, bl, _ = _shade(feats, pix, t1, a, b, cq, delta)
-                s_t1[...] = jnp.minimum(
-                    s_t1[...], jnp.min(t1, -1, keepdims=True))
-                s_alpha[..., 0:1] = (
-                    s_alpha[..., 0:1]
-                    + 1e-30 * jnp.sum(alpha + r + g + bl, -1, keepdims=True))
-            return carry
+            return (jnp.minimum(st[0], jnp.min(t1, -1, keepdims=True)),
+                    ) + st[1:]
+        if variant == "merge_t1":
+            # merge with dummy payloads (no shade): isolates the merge.
+            nt1, nqa, nr, ng, nb, nord = _merge_topk(
+                depth, (st[0], st[2], st[3], st[4], st[5], st[1]),
+                (t1, t1, t1, t1, t1,
+                 (_lane(t1.shape) + c * CHUNK).astype(jnp.float32)))
+            return (nt1, nord, nqa, nr, ng, nb)
+        if variant == "shade_nomerge":
+            qa, r, g, bl = _shade_q(feats, pix, t1, a, b, cq, delta)
+            return (jnp.minimum(st[0], jnp.min(t1, -1, keepdims=True)),
+                    st[1],
+                    jnp.minimum(st[2], jnp.min(qa + r + g + bl, -1,
+                                               keepdims=True)),
+                    ) + st[3:]
+        if variant == "shade_qa":
+            # qa elementwise + log only, no SH dots.
+            op = feats[..., 10]
+            qa = jnp.where(
+                (delta > 0.0) & jnp.isfinite(t1),
+                b * b / (4.0 * a) - (cq + 3.0) + jnp.log(op)[:, None, :],
+                -jnp.inf)
+            return (jnp.minimum(st[0], jnp.min(t1, -1, keepdims=True)),
+                    st[1],
+                    jnp.minimum(st[2], jnp.min(qa, -1, keepdims=True)),
+                    ) + st[3:]
+        if variant == "shade_dots":
+            # the 3 SH dot_generals only.
+            y = pix[..., 9:24]
+            ct = (((2,), (2,)), ((0,), (0,)))
+            acc = st[2]
+            for ch in range(3):
+                sh_ch = feats[..., 14 + 15 * ch: 29 + 15 * ch]
+                r = jax.lax.dot_general(y, sh_ch, ct,
+                                        preferred_element_type=jnp.float32)
+                acc = jnp.minimum(acc, jnp.min(r, -1, keepdims=True))
+            return (jnp.minimum(st[0], jnp.min(t1, -1, keepdims=True)),
+                    st[1], acc) + st[3:]
+        return st
 
-        @pl.when(jnp.any(t1 < kth))
-        def _merge():
-            alpha, r, g, bl, _ = _shade(feats, pix, t1, a, b, cq, delta)
-            nt1, nalpha, nr, ng, nb = _merge_topk(
-                depth,
-                (s_t1[...], s_alpha[...], s_r[...], s_g[...], s_b[...]),
-                (t1, alpha, r, g, bl))
-            s_t1[...], s_alpha[...] = nt1, nalpha
-            s_r[...], s_g[...], s_b[...] = nr, ng, nb
-
-        return carry
-
-    jax.lax.fori_loop(0, pl.cdiv(bmax_ref[i], CHUNK), chunk_body, 0)
-    out_ref[:, 0, :] = s_t1[..., 0]
-    out_ref[:, 1, :] = s_alpha[..., 0]
-    out_ref[:, 2, :] = s_r[..., 0]
-    out_ref[:, 3, :] = s_b[..., 0]
+    if variant == "empty":
+        out_ref[:, 0, :] = pix[..., 0] + feats_ref[0, 0:1, 0:1] * 1e-30
+        out_ref[:, 1, :] = pix[..., 1]
+        out_ref[:, 2, :] = pix[..., 2]
+        out_ref[:, 3, :] = pix[..., 3]
+        return
+    st = jax.lax.fori_loop(0, nc, chunk_partial, _init_state(bt, p, depth))
+    out_ref[:, 0, :] = st[0][..., 0]
+    out_ref[:, 1, :] = st[2][..., 0]
+    out_ref[:, 2, :] = st[3][..., 0]
+    out_ref[:, 3, :] = st[4][..., 0]
 
 
 def run_variant(variant, gathered, counts, pix, depth):
@@ -112,7 +149,6 @@ def run_variant(variant, gathered, counts, pix, depth):
             pl.BlockSpec((bt, p, G_DIM), lambda i, cr: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((bt, 4, p), lambda i, cr: (i, 0, 0)),
-        scratch_shapes=[pltpu.VMEM((bt, p, depth), jnp.float32)] * 5,
     )
     fn = pl.pallas_call(
         functools.partial(_kernel, depth, variant),
@@ -163,7 +199,7 @@ def main():
     ap.add_argument("--cand", type=int, default=512)
     ap.add_argument("--glob", type=int, default=128)
     ap.add_argument("--variants", type=str,
-                    default="empty,intersect,shade,full")
+                    default="empty,intersect,merge_t1,shade_nomerge,prod,prod_static")
     ap.add_argument("--iters", type=int, default=8)
     args = ap.parse_args()
 
