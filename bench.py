@@ -53,7 +53,10 @@ CONFIGS = [
     dict(n=250_000, res=(1280, 720), depth=16, label="250k@720p",
          render_kw=dict(max_candidates=1536)),
     dict(n=1_000_000, res=(1920, 1088), depth=16, label="1M@1080p",
-         render_kw=dict(max_candidates=4096)),
+         # 8 tile bands bound the (tiles, C, 64) gather to 1.1 GB — the
+         # monolithic 8.8 GB version never finished compile/warm on the
+         # tunneled chip (round-3 1M children hit their 25-40 min caps).
+         render_kw=dict(max_candidates=4096, tile_bands=8)),
 ]
 RENDER_KW = dict(tile=(16, 16), max_candidates=512, max_global=128)
 # Per-config subprocess wall cap. Cold remote compiles take minutes; warm

@@ -211,7 +211,8 @@ def _tile_pixel_features(camera: Camera, tile):
 
 @partial(jax.jit, static_argnames=("depth", "tile", "max_candidates",
                                    "max_global", "max_tiles_local",
-                                   "pairs_budget", "with_stats"))
+                                   "pairs_budget", "with_stats",
+                                   "tile_bands"))
 def render_tiled_pallas(
     g: G.Gaussians,
     camera: Camera,
@@ -222,6 +223,7 @@ def render_tiled_pallas(
     max_tiles_local=None,
     pairs_budget: int | None = None,
     with_stats: bool = False,
+    tile_bands: int | None = None,
 ):
     """Full-frame render through the fused Pallas peel kernel
     (``rtgs_tpu/ops/peel.py``). Same semantics as :func:`render_tiled`;
@@ -233,7 +235,12 @@ def render_tiled_pallas(
     the SAME compiled program — a benchmark that silently dropped
     candidates would otherwise report a meaningless rays/s number, and a
     separately-jitted diagnostic costs a full extra multi-minute compile on
-    the tunneled backend (round-2 failure)."""
+    the tunneled backend (round-2 failure).
+
+    ``tile_bands``: process the tile axis in this many sequential bands
+    (``lax.map``), bounding the materialized (tiles, C, 64) feature gather
+    to one band. At 1M splats / 1080p / C=4224 the monolithic gather is
+    8.8 GB — with 8 bands it is 1.1 GB. ``None`` = single shot."""
     from rtgs_tpu.ops.peel import peel_pallas
     from rtgs_tpu.render.binning import tile_candidates
 
@@ -255,7 +262,20 @@ def render_tiled_pallas(
     packed = pack_features(precompute_features(g, camera))
     pix = _tile_pixel_features(camera, tile)
 
-    rad, _trans = peel_pallas(packed, cand, pix, depth)  # (T, 3, P)
+    if tile_bands and tile_bands > 1:
+        t = cand.shape[0]
+        band = -(-t // tile_bands)
+        pad_t = tile_bands * band - t
+        cand_b = jnp.pad(cand, ((0, pad_t), (0, 0)), constant_values=-1)
+        pix_b = jnp.pad(pix, ((0, pad_t), (0, 0), (0, 0)))
+        cand_b = cand_b.reshape(tile_bands, band, cand.shape[1])
+        pix_b = pix_b.reshape(tile_bands, band, *pix.shape[1:])
+        rad = jax.lax.map(
+            lambda args: peel_pallas(packed, args[0], args[1], depth)[0],
+            (cand_b, pix_b))
+        rad = rad.reshape(tile_bands * band, 3, pix.shape[1])[:t]
+    else:
+        rad, _trans = peel_pallas(packed, cand, pix, depth)  # (T, 3, P)
     img = (
         rad.transpose(0, 2, 1)
         .reshape(ntx, nty, tw, th, 3)
