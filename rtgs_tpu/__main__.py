@@ -70,6 +70,10 @@ def _add_common_flags(p: argparse.ArgumentParser):
                         "overflow is 0 — e.g. 4096 for 1M splats at 1080p).")
     p.add_argument("--pairs-budget", type=int, default=None,
                    help="Binning pair-buffer budget (default 8N).")
+    p.add_argument("--tile-bands", type=int, default=None,
+                   help="Render the tile axis in N sequential bands "
+                        "(bounds the candidate-feature gather memory; "
+                        "use ~8 for 1M-splat scenes at 1080p).")
     p.add_argument("-v", "--bvh", type=int, default=1024,
                    help="BVH node budget (reference __main__.py:72-78 "
                         "parity; the tile-binned pipeline needs no BVH, so "
@@ -143,6 +147,8 @@ def _render(g, cam, args):
         kw["max_candidates"] = args.max_candidates
     if getattr(args, "pairs_budget", None):
         kw["pairs_budget"] = args.pairs_budget
+    if getattr(args, "tile_bands", None):
+        kw["tile_bands"] = args.tile_bands
     return render(g, cam, depth=args.depth, renderer=args.renderer, **kw)
 
 

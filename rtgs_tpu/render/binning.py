@@ -40,6 +40,40 @@ from rtgs_tpu.utils import quaternion as quat
 _INT32_MAX = jnp.iinfo(jnp.int32).max
 
 
+_BLOCKED_SCAN_MIN = 1 << 25  # 33.5M — below this the monolithic scan wins
+
+
+def _blocked_scan(op, x, block: int = 8192):
+    """Inclusive scan of a flat array, two-level above _BLOCKED_SCAN_MIN.
+
+    XLA:TPU's compile time for a single monolithic scan explodes with
+    length — ``jnp.cumsum`` over the 64M-slot pair array at 1M splats
+    compiles for >7 minutes (measured chipless, round 3; a (7813, 8192)
+    two-level scan compiles in 14s), which made every 1M-scene program
+    un-compilable. Below the threshold the monolithic scan is kept — it is
+    what the measured 100k/250k bench numbers compiled with.
+
+    ``op`` must be associative with identity 0 w.r.t. the padding (holds
+    for add, and for max over the non-negative values used here)."""
+    n = x.shape[0]
+    if n < _BLOCKED_SCAN_MIN:
+        return jax.lax.associative_scan(op, x)
+    m = -(-n // block)
+    pad = m * block - n
+    xp = jnp.pad(x, (0, pad))
+    rows = xp.reshape(m, block)
+    inner = jax.lax.associative_scan(op, rows, axis=1)
+    totals = inner[:, -1]
+    offs = jax.lax.associative_scan(op, totals)
+    offs = jnp.concatenate([totals[:1] * 0, offs[:-1]])
+    out = op(inner, offs[:, None])
+    return out.reshape(-1)[:n]
+
+
+def _blocked_cumsum(x, block: int = 8192):
+    return _blocked_scan(jnp.add, x, block)
+
+
 class TileBinning(NamedTuple):
     """Result of :func:`tile_candidates`.
 
@@ -174,7 +208,7 @@ def tile_candidates(
         pairs_budget = min(8 * n, key_f.shape[0])
     pairs_budget = min(pairs_budget, key_f.shape[0])
     pair_live_f = key_f != _INT32_MAX
-    pos = jnp.cumsum(pair_live_f.astype(jnp.int32)) - 1
+    pos = _blocked_cumsum(pair_live_f.astype(jnp.int32)) - 1
     budget_overflow = jnp.maximum(
         jnp.sum(pair_live_f.astype(jnp.int32)) - pairs_budget, 0)
     dst = jnp.where(pair_live_f, pos, pairs_budget)  # dead/over → dropped
@@ -189,7 +223,7 @@ def tile_candidates(
     tile_of = jnp.where(key_s == _INT32_MAX, num_tiles, key_s // shift)
     newseg = jnp.concatenate(
         [jnp.ones((1,), bool), tile_of[1:] != tile_of[:-1]])
-    seg_start = jax.lax.associative_scan(
+    seg_start = _blocked_scan(
         jnp.maximum, jnp.where(newseg, iota, 0))
     slot = iota - seg_start
 
