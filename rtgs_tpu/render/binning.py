@@ -40,11 +40,12 @@ from rtgs_tpu.utils import quaternion as quat
 _INT32_MAX = jnp.iinfo(jnp.int32).max
 
 
-_BLOCKED_SCAN_MIN = 1 << 25  # 33.5M — below this the monolithic scan wins
+_BLOCKED_SCAN_MIN = 1 << 25  # 33.5M — call sites use the monolithic
+# forms verbatim below this (cache-hit parity with the measured configs).
 
 
 def _blocked_scan(op, x, block: int = 8192):
-    """Inclusive scan of a flat array, two-level above _BLOCKED_SCAN_MIN.
+    """Inclusive scan of a flat array via a two-level decomposition.
 
     XLA:TPU's compile time for a single monolithic scan explodes with
     length — ``jnp.cumsum`` over the 64M-slot pair array at 1M splats
@@ -56,8 +57,6 @@ def _blocked_scan(op, x, block: int = 8192):
     ``op`` must be associative with identity 0 w.r.t. the padding (holds
     for add, and for max over the non-negative values used here)."""
     n = x.shape[0]
-    if n < _BLOCKED_SCAN_MIN:
-        return jax.lax.associative_scan(op, x)
     m = -(-n // block)
     pad = m * block - n
     xp = jnp.pad(x, (0, pad))
@@ -208,7 +207,15 @@ def tile_candidates(
         pairs_budget = min(8 * n, key_f.shape[0])
     pairs_budget = min(pairs_budget, key_f.shape[0])
     pair_live_f = key_f != _INT32_MAX
-    pos = _blocked_cumsum(pair_live_f.astype(jnp.int32)) - 1
+    flat = pair_live_f.shape[0]
+    if flat < _BLOCKED_SCAN_MIN:
+        # The EXACT expression the measured bench configs compiled with —
+        # keeping it verbatim preserves compilation-cache hits (the driver
+        # re-runs the bench; a wedged remote compiler must not force a
+        # recompile of the proven configs).
+        pos = jnp.cumsum(pair_live_f.astype(jnp.int32)) - 1
+    else:
+        pos = _blocked_cumsum(pair_live_f.astype(jnp.int32)) - 1
     budget_overflow = jnp.maximum(
         jnp.sum(pair_live_f.astype(jnp.int32)) - pairs_budget, 0)
     dst = jnp.where(pair_live_f, pos, pairs_budget)  # dead/over → dropped
@@ -223,8 +230,12 @@ def tile_candidates(
     tile_of = jnp.where(key_s == _INT32_MAX, num_tiles, key_s // shift)
     newseg = jnp.concatenate(
         [jnp.ones((1,), bool), tile_of[1:] != tile_of[:-1]])
-    seg_start = _blocked_scan(
-        jnp.maximum, jnp.where(newseg, iota, 0))
+    if total < _BLOCKED_SCAN_MIN:
+        seg_start = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(newseg, iota, 0))
+    else:
+        seg_start = _blocked_scan(
+            jnp.maximum, jnp.where(newseg, iota, 0))
     slot = iota - seg_start
 
     pair_live = key_s != _INT32_MAX
