@@ -135,9 +135,11 @@ def _intersect_t1(feats, pix):
 
     contract = (((2,), (2,)), ((0,), (0,)))
     a = jax.lax.dot_general(fd, m6, contract,
-                            preferred_element_type=jnp.float32)   # (B, P, C)
+                            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)   # (B, P, C)
     b = 2.0 * jax.lax.dot_general(d, me, contract,
-                                  preferred_element_type=jnp.float32)
+                                  preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
     cq = c0[:, None, :]
     delta = b * b - 4.0 * a * cq
     sq = jnp.sqrt(jnp.where(delta > 0, delta, 0.0))
@@ -167,7 +169,8 @@ def _shade(feats, pix, t1, a, b, cq, delta):
     for ch in range(3):
         sh_ch = feats[..., 14 + 15 * ch: 29 + 15 * ch]  # (B, C, 15)
         rgb.append(col[..., ch][:, None, :] + jax.lax.dot_general(
-            y, sh_ch, contract, preferred_element_type=jnp.float32))
+            y, sh_ch, contract, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST))
     return alpha, rgb[0], rgb[1], rgb[2], rho
 
 
@@ -199,7 +202,8 @@ def _shade_q(feats, pix, t1, a, b, cq, delta):
     for ch in range(3):
         sh_ch = feats[..., 14 + 15 * ch: 29 + 15 * ch]  # (B, C, 15)
         rgb.append(col[..., ch][:, None, :] + jax.lax.dot_general(
-            y, sh_ch, contract, preferred_element_type=jnp.float32))
+            y, sh_ch, contract, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST))
     return qa, rgb[0], rgb[1], rgb[2]
 
 
@@ -415,7 +419,8 @@ def _extract_update(depth, c, pix, feats_ref, slot_k, ext):
             masked = jnp.where(m == (k + 1).astype(jnp.float32), x, 0.0)
             v = jax.lax.dot_general(
                 masked, ones_c, red_ct,
-                preferred_element_type=jnp.float32)[..., 0:1]
+                preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)[..., 0:1]
             return jnp.where(klane == k, acc + v, acc)
 
         return jax.lax.fori_loop(0, depth, body, acc)
@@ -442,7 +447,8 @@ def _extract_update(depth, c, pix, feats_ref, slot_k, ext):
     for ch, acc_in in ((0, e_r), (1, e_g), (2, e_b)):
         sh_ch = feats[..., 14 + 15 * ch: 29 + 15 * ch]
         rgb = col3[..., ch][:, None, :] + jax.lax.dot_general(
-            y, sh_ch, ct, preferred_element_type=jnp.float32)
+            y, sh_ch, ct, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
         out = extract_field(rgb, acc_in)
         if ch == 0:
             e_r = out
@@ -599,15 +605,20 @@ def _bwd_kernel(depth, bmax_ref, feats_ref, pix_ref, grad_out_ref,
             # Contract over pixels (dim 1), batched over tiles (dim 0).
             ct = (((1,), (1,)), ((0,), (0,)))
             dm6 = jax.lax.dot_general(dA, fd, ct,
-                                      preferred_element_type=jnp.float32)
+                                      preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
             dme = 2.0 * jax.lax.dot_general(
-                dB, d, ct, preferred_element_type=jnp.float32)
+                dB, d, ct, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
             dsh_r = jax.lax.dot_general(gR, y, ct,
-                                        preferred_element_type=jnp.float32)
+                                        preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
             dsh_g = jax.lax.dot_general(gG, y, ct,
-                                        preferred_element_type=jnp.float32)
+                                        preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
             dsh_b = jax.lax.dot_general(gB, y, ct,
-                                        preferred_element_type=jnp.float32)
+                                        preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
             dblock = jnp.concatenate([
                 dm6,                                   # 0:6
                 dme,                                   # 6:9
@@ -706,15 +717,20 @@ def _bwd_topk_kernel(depth, bmax_ref, feats_ref, pix_ref, grad_layers_ref,
 
             ct = (((1,), (1,)), ((0,), (0,)))
             dm6 = jax.lax.dot_general(dA, fd, ct,
-                                      preferred_element_type=jnp.float32)
+                                      preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
             dme = 2.0 * jax.lax.dot_general(
-                dB, d, ct, preferred_element_type=jnp.float32)
+                dB, d, ct, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
             dsh_r = jax.lax.dot_general(gR, y, ct,
-                                        preferred_element_type=jnp.float32)
+                                        preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
             dsh_g = jax.lax.dot_general(gG, y, ct,
-                                        preferred_element_type=jnp.float32)
+                                        preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
             dsh_b = jax.lax.dot_general(gB, y, ct,
-                                        preferred_element_type=jnp.float32)
+                                        preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
             dblock = jnp.concatenate([
                 dm6, dme,
                 jnp.sum(dC0, axis=1)[..., None],

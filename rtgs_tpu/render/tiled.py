@@ -59,7 +59,8 @@ def precompute_features(g: G.Gaussians, camera: Camera) -> TileFeatures:
         [cov_inv[:, 0, 0], cov_inv[:, 0, 1], cov_inv[:, 0, 2],
          cov_inv[:, 1, 1], cov_inv[:, 1, 2], cov_inv[:, 2, 2]], axis=-1)
     e = camera.position[None, :] - g.means
-    me = jnp.einsum("nij,nj->ni", cov_inv, e)
+    me = jnp.einsum("nij,nj->ni", cov_inv, e,
+                    precision=jax.lax.Precision.HIGHEST)
     c0 = jnp.sum(e * me, axis=-1) - G.BOUNDING_THRESHOLD
 
     def sentinel(x, row):
@@ -110,8 +111,12 @@ def intersect_candidates(feats: TileFeatures, cand: jnp.ndarray,
     sh = feats.sh[safe]           # (C, 15, 3)
 
     fd, y = direction_features(dirs)          # (P, 6), (P, 15)
-    a = fd @ m6.T                              # (P, C)
-    b = 2.0 * (dirs @ me.T)                    # (P, C)
+    # HIGHEST: on the MXU the default bf16 input precision breaks the
+    # cancellation-sensitive quadratic (exp(B²/4A − eᵀMe) overflowed on
+    # hardware — round-3 NaN bug; see ops/peel.py and chip_parity.py).
+    hp = jax.lax.Precision.HIGHEST
+    a = jnp.matmul(fd, m6.T, precision=hp)     # (P, C)
+    b = 2.0 * jnp.matmul(dirs, me.T, precision=hp)
     cq = c0[None, :]
     # Guard the sentinel's inf c0 from generating nan (0 * inf) downstream.
     cq = jnp.where(jnp.isfinite(cq), cq, 1e30)
@@ -125,7 +130,8 @@ def intersect_candidates(feats: TileFeatures, cand: jnp.ndarray,
     alpha = jnp.where(valid, op[None, :] * rho, 0.0)
     t1 = jnp.where(valid, t1, jnp.inf)
     # rgb[p, c, ch] = color[c, ch] + Σₖ y[p, k] sh[c, k, ch].
-    rgb = col[None, :, :] + jnp.einsum("pk,ckh->pch", y, sh)
+    rgb = col[None, :, :] + jnp.einsum("pk,ckh->pch", y, sh,
+                                       precision=jax.lax.Precision.HIGHEST)
     return t1, alpha, rgb
 
 

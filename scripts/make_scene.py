@@ -48,18 +48,18 @@ def structured_scene(n: int, seed: int = 0) -> Gaussians:
     g_xy = rng.uniform(-4.5, 4.5, (n_ground, 2))
     ground = np.stack([g_xy[:, 0], np.full(n_ground, -0.8)
                        + rng.normal(0, 0.02, n_ground), g_xy[:, 1]], 1)
-    add(n_ground, ground, (0.006, 0.02))
+    add(n_ground, ground, (0.015, 0.05))
 
     n_obj = n // 4
     for c in ([-1.0, -0.3, 0.0], [0.8, 0.0, 0.5], [0.0, 0.4, -1.0]):
         k = n_obj // 3
-        add(k, np.asarray(c) + rng.normal(0, 0.45, (k, 3)), (0.003, 0.012))
+        add(k, np.asarray(c) + rng.normal(0, 0.45, (k, 3)), (0.01, 0.03))
 
     n_shell = n - n_ground - 3 * (n_obj // 3)
     d = rng.normal(size=(n_shell, 3))
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
     shell = d * (2.2 + rng.normal(0, 0.03, (n_shell, 1)))
-    add(n_shell, shell, (0.006, 0.018))
+    add(n_shell, shell, (0.015, 0.045))
 
     cat = {k: np.concatenate([p[k] for p in parts], 0) for k in parts[0]}
     return Gaussians(
