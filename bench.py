@@ -158,7 +158,9 @@ def _child(idx: int) -> None:
     live = int(stats["live"])
     local_ovf = int(stats["local_overflow"])
     global_ovf = int(stats["global_overflow"])
-    dropped_frac = local_ovf / max(live + local_ovf, 1)
+    # Both overflow classes drop candidates from the image (ADVICE r3).
+    dropped = local_ovf + global_ovf
+    dropped_frac = dropped / max(live + dropped, 1)
     _log(f"binning: live={live} local_ovf={local_ovf} "
          f"global_ovf={global_ovf} dropped={dropped_frac:.2%}")
 

@@ -136,9 +136,17 @@ def _render(g, cam, args):
         from rtgs_tpu.parallel.mesh import make_mesh
         from rtgs_tpu.parallel.render import render_tiled_sharded, shard_scene
 
+        kw = {}
+        if getattr(args, "max_candidates", None):
+            kw["max_candidates"] = args.max_candidates
+        for unsupported in ("pairs_budget", "tile_bands"):
+            if getattr(args, unsupported, None):
+                logging.getLogger(__name__).warning(
+                    "--%s is not supported on the --mesh path; ignored",
+                    unsupported.replace("_", "-"))
         mesh = make_mesh(*args.mesh)
         return render_tiled_sharded(
-            shard_scene(g, mesh), cam, mesh, depth=args.depth)
+            shard_scene(g, mesh), cam, mesh, depth=args.depth, **kw)
 
     from rtgs_tpu.render.api import render
 

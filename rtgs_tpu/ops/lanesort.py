@@ -33,22 +33,9 @@ import jax
 import jax.numpy as jnp
 
 
-def _roll(x, shift):
-    """Rotate the last axis. Inside Mosaic use pltpu.roll; the jnp.roll
-    fallback keeps the functions usable under the Pallas interpreter and
-    in plain XLA (tests)."""
-    try:
-        from jax.experimental.pallas import tpu as pltpu
-
-        # pltpu.roll only lowers inside a Mosaic kernel; calling it from
-        # XLA traces fine but we prefer jnp.roll there. Pallas interpret
-        # mode also needs jnp.roll. The caller picks via `use_pltpu`.
-        return pltpu.roll(x, shift, x.ndim - 1)
-    except Exception:  # pragma: no cover
-        return jnp.roll(x, shift, axis=-1)
-
-
 def _rolls(x, shift, use_pltpu):
+    """Rotate the last axis: pltpu.roll inside a Mosaic kernel
+    (use_pltpu=True), jnp.roll under the Pallas interpreter / plain XLA."""
     if use_pltpu:
         from jax.experimental.pallas import tpu as pltpu
 

@@ -108,13 +108,22 @@ def _tile_block() -> int:
     return int(os.environ.get("RTGS_TILE_BLOCK", "1"))
 
 
-def _merge_mode() -> str:
+def _merge_mode(depth: int | None = None) -> str:
     """Top-K merge implementation: "argmin" (default — K fori_loop
     argmin-extract passes, measured ~10us per merge in carry-state form)
     or "bitonic" (ops/lanesort.py sorting network, measured ~17us — lane
     rotations on this backend cost more than the cross-lane reductions
-    they replace; kept for A/B and for backends where that flips)."""
-    return os.environ.get("RTGS_MERGE", "argmin")
+    they replace; kept for A/B and for backends where that flips).
+
+    The bitonic network requires power-of-two lane counts (its 2K-lane
+    concat asserts otherwise), so non-power-of-two ``depth`` silently uses
+    argmin — which supports any depth — instead of failing at trace time
+    (ADVICE r3)."""
+    mode = os.environ.get("RTGS_MERGE", "argmin")
+    if (mode == "bitonic" and depth is not None
+            and (depth & (depth - 1)) != 0):
+        return "argmin"
+    return mode
 
 
 def _lane(shape):
@@ -351,7 +360,7 @@ def _chunk_update(depth, c, pix, feats_ref, st):
     feats = feats_ref[:, pl.ds(off, CHUNK), :]   # (B, CHUNK, F)
     t1, a, b, cq, delta = _intersect_t1(feats, pix)
     qa, r, g, bl = _shade_q(feats, pix, t1, a, b, cq, delta)
-    if _merge_mode() == "bitonic":
+    if _merge_mode(depth) == "bitonic":
         return _merge_topk_bitonic(depth, st, (t1, qa, r, g, bl), c * CHUNK)
     gslot = (_lane(t1.shape) + c * CHUNK).astype(jnp.float32)
     nt1, nqa, nr, ng, nb, nord = _merge_topk(
@@ -376,7 +385,7 @@ def _keys_update(depth, c, pix, feats_ref, st):
     off = pl.multiple_of(c * CHUNK, CHUNK)
     feats = feats_ref[:, pl.ds(off, CHUNK), :]   # (B, CHUNK, F)
     t1, _a, _b, _cq, _delta = _intersect_t1(feats, pix)
-    if _merge_mode() == "bitonic":
+    if _merge_mode(depth) == "bitonic":
         nt1, nord = _merge_topk_bitonic(depth, st, (t1,), c * CHUNK)[:2]
         return nt1, nord
     gslot = (_lane(t1.shape) + c * CHUNK).astype(jnp.float32)

@@ -33,10 +33,19 @@ def render(g: G.Gaussians, camera: Camera, depth: int = 16,
     if renderer == "oracle":
         from rtgs_tpu.render.oracle import render_oracle
 
+        # Tiled-only tuning knobs (candidate budgets, banding) have no
+        # meaning for brute force — drop them instead of raising so one CLI
+        # flag set drives every path (ADVICE r3).
+        kwargs = {k: v for k, v in kwargs.items()
+                  if k not in ("max_candidates", "max_global", "pairs_budget",
+                               "tile_bands", "max_tiles_local", "tile")}
         return render_oracle(g, camera, depth=depth, **kwargs)
     if renderer == "tiled":
         from rtgs_tpu.render.tiled import render_tiled
 
+        # render_tiled has no banding knob (its per-chunk lax.map already
+        # bounds memory) — accept and drop it (ADVICE r3).
+        kwargs.pop("tile_bands", None)
         return render_tiled(g, camera, depth=depth, **kwargs)
     if renderer == "pallas":
         from rtgs_tpu.render.tiled import render_tiled_pallas

@@ -75,6 +75,7 @@ print(f"OK process={jax.process_index()}", flush=True)
 """
 
 
+@pytest.mark.slow
 def test_two_process_distributed_render(tmp_path):
     port = _free_port()
     repo = str(pathlib.Path(__file__).resolve().parent.parent)

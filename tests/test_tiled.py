@@ -4,6 +4,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from rtgs_tpu import gaussians as G
 from rtgs_tpu.camera import camera_from_fov, new_camera
@@ -164,6 +165,7 @@ def test_bitwise_determinism(key):
         assert np.array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow
 def test_million_splat_crop_matches_oracle():
     """VERDICT r2 next #3: at benchmark scale (>=1M splats) the production
     Pallas path must (a) drop zero candidate pairs with the bench budgets
