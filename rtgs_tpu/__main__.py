@@ -55,14 +55,19 @@ def _add_common_flags(p: argparse.ArgumentParser):
     p.add_argument("-f", "--fov", type=float, default=90.0,
                    help="Vertical FOV in degrees.")
     p.add_argument("-s", "--sample", type=int, default=1,
-                   help="Render sample rate (deterministic renderer: all "
-                        "samples identical, kept for flag parity).")
+                   help="Samples to accumulate per frame (reference "
+                        "ray_tracer.py:39-77 semantics; with deterministic "
+                        "pixel-center rays all samples are identical unless "
+                        "--jitter is set).")
+    p.add_argument("--jitter", action="store_true",
+                   help="Subpixel-jitter samples 2..N (antialiasing; "
+                        "requires -s > 1 to have any effect).")
     p.add_argument("-d", "--depth", type=int, default=16,
                    help="Render sample depth (composited layers).")
     p.add_argument("--scale", type=float, default=1.0,
                    help="Global Gaussian scale.")
     p.add_argument("--renderer",
-                   choices=["auto", "oracle", "tiled", "pallas"],
+                   choices=["auto", "oracle", "tiled", "pallas", "keys"],
                    default="auto")
     p.add_argument("--max-candidates", type=int, default=None,
                    help="Per-tile candidate budget for the tiled/pallas "
@@ -148,7 +153,7 @@ def _render(g, cam, args):
         return render_tiled_sharded(
             shard_scene(g, mesh), cam, mesh, depth=args.depth, **kw)
 
-    from rtgs_tpu.render.api import render
+    from rtgs_tpu.render.api import render, render_progressive
 
     kw = {}
     if getattr(args, "max_candidates", None):
@@ -157,6 +162,11 @@ def _render(g, cam, args):
         kw["pairs_budget"] = args.pairs_budget
     if getattr(args, "tile_bands", None):
         kw["tile_bands"] = args.tile_bands
+    if getattr(args, "sample", 1) > 1:
+        return render_progressive(
+            g, cam, depth=args.depth, samples=args.sample,
+            renderer=args.renderer, jitter=getattr(args, "jitter", False),
+            **kw)
     return render(g, cam, depth=args.depth, renderer=args.renderer, **kw)
 
 

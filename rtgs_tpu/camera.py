@@ -86,14 +86,21 @@ def generate_ray(camera: Camera, uv: jnp.ndarray) -> Rays:
     )
 
 
-def generate_ray_grid(camera: Camera) -> Rays:
+def generate_ray_grid(camera: Camera, pixel_offset=None) -> Rays:
     """Per-pixel camera rays for the whole buffer, shaped (W, H) to match the
     reference's ``cam_ray_field[i, j]`` indexing (``camera.py:57-71``):
     index 0 is the x pixel (left→right), index 1 the y pixel (bottom→top),
-    sampled at pixel centers."""
+    sampled at pixel centers.
+
+    ``pixel_offset``: optional (2,) subpixel offset in pixel units added to
+    the center sample point — the progressive-sampling jitter
+    (render/api.py:render_progressive). ``None`` = exact reference centers.
+    """
     w, h = camera.buf_size
-    i = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
-    j = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+    ox, oy = ((0.0, 0.0) if pixel_offset is None
+              else (pixel_offset[0], pixel_offset[1]))
+    i = (jnp.arange(w, dtype=jnp.float32) + 0.5 + ox) / w
+    j = (jnp.arange(h, dtype=jnp.float32) + 0.5 + oy) / h
     uv = jnp.stack(jnp.meshgrid(i, j, indexing="ij"), axis=-1)  # (W, H, 2)
     return generate_ray(camera, uv)
 

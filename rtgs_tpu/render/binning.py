@@ -106,6 +106,7 @@ def tile_candidates(
     max_tiles_local=None,
     max_global: int = 128,
     pairs_budget: int | None = None,
+    pad_px: float = 0.0,
 ) -> TileBinning:
     """Build fixed-width per-tile candidate lists (all on-device, jittable).
 
@@ -152,8 +153,8 @@ def tile_candidates(
     # (see camera.py:46-52 mapping).
     px = fx * pc[..., 0] / (-zsafe) + (w / 2 - 0.5)
     py = fy * pc[..., 1] / (-zsafe) + (h / 2 - 0.5)
-    px_min, px_max = jnp.min(px, -1), jnp.max(px, -1)
-    py_min, py_max = jnp.min(py, -1), jnp.max(py, -1)
+    px_min, px_max = jnp.min(px, -1) - pad_px, jnp.max(px, -1) + pad_px
+    py_min, py_max = jnp.min(py, -1) - pad_px, jnp.max(py, -1) + pad_px
 
     off_screen = (
         (px_max < -0.5) | (px_min > w - 0.5)

@@ -154,13 +154,14 @@ def composite_rays(g: G.Gaussians, rays: Rays, depth: int = 16):
 
 
 def render_oracle(g: G.Gaussians, camera: Camera, depth: int = 16,
-                  pixel_chunk: int | None = None) -> jnp.ndarray:
+                  pixel_chunk: int | None = None,
+                  pixel_offset=None) -> jnp.ndarray:
     """Full-frame brute-force render. Returns (W, H, 3) radiance, matching
     the reference's converged display buffer (``ray_tracer.py:68-77`` with all
     samples identical — the reference casts deterministic pixel-center rays,
     so every sample is the same image)."""
     w, h = camera.buf_size
-    rays = generate_ray_grid(camera).reshape(w * h)
+    rays = generate_ray_grid(camera, pixel_offset).reshape(w * h)
     p = w * h
     if pixel_chunk is None:
         # Bound the (chunk × N) intersection matrix to ~32M elements.

@@ -190,17 +190,20 @@ def pack_features(feats: TileFeatures) -> jnp.ndarray:
     return packed.at[-1, 9].set(1e30)
 
 
-def _tile_pixel_features(camera: Camera, tile):
+def _tile_pixel_features(camera: Camera, tile, pixel_offset=None):
     """Per-pixel kernel features arranged (T, P, 24): dir, d-quadratic
-    features, SH basis."""
+    features, SH basis. ``pixel_offset``: optional (2,) subpixel jitter in
+    pixel units (progressive sampling)."""
     from rtgs_tpu.ops.peel import G_DIM
 
     w, h = camera.buf_size
     tw, th = tile
     ntx, nty = -(-w // tw), -(-h // th)
     censor = jnp.asarray((w, h), jnp.float32)
-    i = (jnp.arange(ntx * tw, dtype=jnp.float32) + 0.5) / w
-    j = (jnp.arange(nty * th, dtype=jnp.float32) + 0.5) / h
+    ox, oy = ((0.0, 0.0) if pixel_offset is None
+              else (pixel_offset[0], pixel_offset[1]))
+    i = (jnp.arange(ntx * tw, dtype=jnp.float32) + 0.5 + ox) / w
+    j = (jnp.arange(nty * th, dtype=jnp.float32) + 0.5 + oy) / h
     uv = jnp.stack(jnp.meshgrid(i, j, indexing="ij"), axis=-1)
     pxy = (censor * uv - 0.5 * censor) / camera.focal_length
     d_cam = jnp.concatenate([pxy, -jnp.ones_like(pxy[..., :1])], axis=-1)
@@ -230,6 +233,7 @@ def render_tiled_pallas(
     pairs_budget: int | None = None,
     with_stats: bool = False,
     tile_bands: int | None = None,
+    pixel_offset=None,
 ):
     """Full-frame render through the fused Pallas peel kernel
     (``rtgs_tpu/ops/peel.py``). Same semantics as :func:`render_tiled`;
@@ -258,7 +262,8 @@ def render_tiled_pallas(
     binning = tile_candidates(
         g, camera, tile=tile, max_candidates=max_candidates,
         max_global=max_global, max_tiles_local=max_tiles_local,
-        pairs_budget=pairs_budget)
+        pairs_budget=pairs_budget,
+        pad_px=0.0 if pixel_offset is None else 0.5)
     cand = binning.candidates
     c2 = cand.shape[1]
     pad_c = (-c2) % 128  # kernel wants the candidate axis lane-aligned
@@ -266,7 +271,7 @@ def render_tiled_pallas(
         cand = jnp.pad(cand, ((0, 0), (0, pad_c)), constant_values=-1)
 
     packed = pack_features(precompute_features(g, camera))
-    pix = _tile_pixel_features(camera, tile)
+    pix = _tile_pixel_features(camera, tile, pixel_offset)
 
     if tile_bands and tile_bands > 1:
         t = cand.shape[0]
@@ -298,6 +303,154 @@ def render_tiled_pallas(
     return img
 
 
+def shade_winners(packed: jnp.ndarray, cand: jnp.ndarray,
+                  slot_k: jnp.ndarray, pix: jnp.ndarray):
+    """Shade the K winning layers per pixel from their candidate slots.
+
+    The keys-only kernel (``ops/peel.py:_keys_kernel``) selects winners;
+    this computes their contribution with plain differentiable XLA — the
+    gathers transpose to scatter-adds under autodiff, so this function IS
+    the renderer's backward path (no hand-written kernel VJP needed).
+
+    Shape discipline (measured, round 4): gathering per-field tables
+    (m6 (·,6), sh (·,15,3)) materializes buffers whose minor dims pad to
+    the (8, 128) TPU tile — a 20-40x physical blowup that cost 212 ms at
+    100k@384p. Instead gather the ONE lane-packed (N+1, 64) feature row
+    per winner (2x lane pad only) and let XLA fuse every slice/multiply/
+    reduce of it — nothing else materializes.
+
+    The quadratic runs as *elementwise* f32 mul/add over the gathered
+    rows — exact f32, so the round-3 MXU bf16 cancellation bug class
+    (BASELINE.md "hardware-correctness") cannot occur here by
+    construction.
+
+    Args:
+      packed: (N+1, 64) lane-packed feature table (``pack_features``;
+        row N = sentinel with c0 = 1e30).
+      cand: (T, C) int32 candidate slots → Gaussian indices, -1 padded.
+      slot_k: (T, P, K) f32 winning candidate slots, +inf for vacant.
+      pix: (T, P, 24) per-pixel features (dir, d-quadratic, SH basis).
+
+    Returns:
+      (alpha (T, P, K), rgb (T, P, K, 3)); vacant layers get alpha = 0.
+    """
+    t, c2 = cand.shape
+    p, k = slot_k.shape[1], slot_k.shape[2]
+    slotn = jnp.where(jnp.isfinite(slot_k), slot_k,
+                      jnp.float32(c2)).astype(jnp.int32)
+    cand_pad = jnp.concatenate(
+        [cand, jnp.full((t, 1), -1, jnp.int32)], axis=1)
+    splat = jnp.take_along_axis(cand_pad, slotn.reshape(t, p * k), axis=1)
+    n_sentinel = packed.shape[0] - 1
+    safe = jnp.where(splat >= 0, splat, n_sentinel)    # (T, P·K)
+
+    rows = packed[safe].reshape(t, p, k, packed.shape[1])
+
+    d = pix[:, :, None, 0:3]                           # (T, P, 1, 3)
+    fd = pix[:, :, None, 3:9]
+    y = pix[:, :, None, 9:24]
+    m6 = rows[..., 0:6]
+    me = rows[..., 6:9]
+    c0 = rows[..., 9]                                  # (T, P, K)
+    op = rows[..., 10]
+    a = jnp.sum(fd * m6, axis=-1)
+    b = 2.0 * jnp.sum(d * me, axis=-1)
+    cq = jnp.minimum(c0, 1e30)                         # sentinel row is 1e30
+    delta = b * b - 4.0 * a * cq
+    sq = jnp.sqrt(jnp.where(delta > 0, delta, 0.0))
+    t1 = (-b - sq) / (2.0 * a)
+    valid = (delta > 0.0) & (t1 > 0.0)   # Δ==0 → ρ=0 anyway (quirk kept)
+    rho = jnp.exp(jnp.where(delta > 0.0,
+                            b * b / (4.0 * a) - (cq + 3.0), -jnp.inf))
+    alpha = jnp.where(valid, op * rho, 0.0)
+    rgb = jnp.stack(
+        [rows[..., 11 + ch]
+         + jnp.sum(y * rows[..., 14 + 15 * ch: 29 + 15 * ch], axis=-1)
+         for ch in range(3)], axis=-1)                 # (T, P, K, 3)
+    return alpha, rgb
+
+
+@partial(jax.jit, static_argnames=("depth", "tile", "max_candidates",
+                                   "max_global", "max_tiles_local",
+                                   "pairs_budget", "with_stats",
+                                   "tile_bands"))
+def render_tiled_keys(
+    g: G.Gaussians,
+    camera: Camera,
+    depth: int = 16,
+    tile=(16, 16),
+    max_candidates: int = 512,
+    max_global: int = 64,
+    max_tiles_local=None,
+    pairs_budget: int | None = None,
+    with_stats: bool = False,
+    tile_bands: int | None = None,
+    pixel_offset=None,
+):
+    """Full-frame render via the keys-only kernel + XLA winner shading.
+
+    Same semantics and signature as :func:`render_tiled_pallas`; the
+    round-4 production path (VERDICT r3 weak #3). The fused kernel only
+    *selects* (per pixel, the K nearest candidate slots); alpha/rgb of
+    those winners and the front-to-back composite are ordinary XLA, so the
+    whole renderer differentiates by autodiff — the R·C candidate field
+    never materializes outside the kernel, only the R·K winner list.
+    """
+    from rtgs_tpu.ops.peel import peel_keys
+    from rtgs_tpu.render.binning import tile_candidates
+    from rtgs_tpu.render.oracle import composite_hits
+
+    w, h = camera.buf_size
+    tw, th = tile
+    ntx, nty = -(-w // tw), -(-h // th)
+
+    binning = tile_candidates(
+        g, camera, tile=tile, max_candidates=max_candidates,
+        max_global=max_global, max_tiles_local=max_tiles_local,
+        pairs_budget=pairs_budget,
+        pad_px=0.0 if pixel_offset is None else 0.5)
+    cand = binning.candidates
+    pad_c = (-cand.shape[1]) % 128
+    if pad_c:
+        cand = jnp.pad(cand, ((0, 0), (0, pad_c)), constant_values=-1)
+
+    packed = pack_features(precompute_features(g, camera))
+    pix = _tile_pixel_features(camera, tile, pixel_offset)
+
+    def band(cand_b, pix_b):
+        t1_k, slot_k = peel_keys(packed, cand_b, pix_b, depth)
+        alpha_k, rgb_k = shade_winners(packed, cand_b, slot_k, pix_b)
+        rad, _trans = composite_hits(t1_k, alpha_k, rgb_k)
+        return rad                                   # (Tb, P, 3)
+
+    t = cand.shape[0]
+    if tile_bands and tile_bands > 1:
+        nb = -(-t // tile_bands)
+        pad_t = tile_bands * nb - t
+        cand_b = jnp.pad(cand, ((0, pad_t), (0, 0)), constant_values=-1)
+        pix_b = jnp.pad(pix, ((0, pad_t), (0, 0), (0, 0)))
+        rad = jax.lax.map(
+            lambda args: band(*args),
+            (cand_b.reshape(tile_bands, nb, cand.shape[1]),
+             pix_b.reshape(tile_bands, nb, *pix.shape[1:])))
+        rad = rad.reshape(tile_bands * nb, pix.shape[1], 3)[:t]
+    else:
+        rad = band(cand, pix)
+    img = (
+        rad.reshape(ntx, nty, tw, th, 3)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(ntx * tw, nty * th, 3))
+    img = img[:w, :h]
+    if with_stats:
+        stats = {
+            "live": jnp.sum(binning.candidates >= 0),
+            "local_overflow": binning.local_overflow,
+            "global_overflow": binning.global_overflow,
+        }
+        return img, stats
+    return img
+
+
 @partial(jax.jit, static_argnames=("depth", "tile", "max_candidates",
                                    "max_global", "tile_chunk",
                                    "max_tiles_local", "pairs_budget"))
@@ -311,6 +464,7 @@ def render_tiled(
     tile_chunk: int | None = None,
     max_tiles_local=None,
     pairs_budget: int | None = None,
+    pixel_offset=None,
 ):
     """Full-frame tiled render. Returns (W, H, 3) radiance.
 
@@ -327,14 +481,17 @@ def render_tiled(
     binning = tile_candidates(
         g, camera, tile=tile, max_candidates=max_candidates,
         max_global=max_global, max_tiles_local=max_tiles_local,
-        pairs_budget=pairs_budget)
+        pairs_budget=pairs_budget,
+        pad_px=0.0 if pixel_offset is None else 0.5)
     feats = precompute_features(g, camera)
 
     # Pixel ray directions for the padded (ntx·tw, nty·th) grid, arranged
     # (T, P, 3) with T = tx * nty + ty, P = local (x, y) raster order.
     censor = jnp.asarray((w, h), jnp.float32)
-    i = (jnp.arange(ntx * tw, dtype=jnp.float32) + 0.5) / w
-    j = (jnp.arange(nty * th, dtype=jnp.float32) + 0.5) / h
+    ox, oy = ((0.0, 0.0) if pixel_offset is None
+              else (pixel_offset[0], pixel_offset[1]))
+    i = (jnp.arange(ntx * tw, dtype=jnp.float32) + 0.5 + ox) / w
+    j = (jnp.arange(nty * th, dtype=jnp.float32) + 0.5 + oy) / h
     uv = jnp.stack(jnp.meshgrid(i, j, indexing="ij"), axis=-1)
     pxy = (censor * uv - 0.5 * censor) / camera.focal_length
     d_cam = jnp.concatenate([pxy, -jnp.ones_like(pxy[..., :1])], axis=-1)

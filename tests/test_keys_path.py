@@ -1,0 +1,127 @@
+"""Keys-only render path (round 4): the fused kernel selects per-pixel
+winner slots; XLA shades + composites the winners and provides the
+backward by autodiff (rtgs_tpu/ops/peel.py:_keys_kernel,
+rtgs_tpu/render/tiled.py:shade_winners). Must match the fused-payload
+Pallas path and the XLA tiled path exactly (same selection order, same
+math, different execution)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rtgs_tpu.camera import camera_from_fov
+from rtgs_tpu.render.oracle import render_oracle
+from rtgs_tpu.render.tiled import (render_tiled, render_tiled_keys,
+                                   render_tiled_pallas)
+from rtgs_tpu.scene import random_scene
+from rtgs_tpu.viewer.orbit import orbit_camera_pose
+
+
+def _orbit_cam(res, theta=0.3, phi=1.2, r=3.0, fov=60.0):
+    pos, rot, _, _ = orbit_camera_pose(
+        theta, phi, r, np.zeros(3), np.array([0.0, 0.0, 0.0, 1.0]))
+    return camera_from_fov(pos, rot, res, fov)
+
+
+def test_keys_matches_oracle(key):
+    from tests._utils import assert_images_close
+
+    g = random_scene(key, 600, extent=1.0)
+    cam = _orbit_cam((64, 48))
+    img_k = render_tiled_keys(g, cam, depth=16, tile=(16, 16),
+                              max_candidates=640, max_global=64)
+    img_o = render_oracle(g, cam, depth=16)
+    assert_images_close(np.asarray(img_k), np.asarray(img_o))
+
+
+def test_keys_matches_pallas_path(key):
+    """Same selection (argmin tie-break to lower slot) as the fused kernel
+    — the two production paths must agree tightly."""
+    g = random_scene(key, 400, extent=1.0)
+    cam = _orbit_cam((48, 32))
+    kw = dict(depth=8, tile=(16, 16), max_candidates=512, max_global=32)
+    img_k = np.asarray(render_tiled_keys(g, cam, **kw))
+    img_p = np.asarray(render_tiled_pallas(g, cam, **kw))
+    assert np.isfinite(img_k).all()
+    assert np.abs(img_k - img_p).max() < 1e-5
+
+
+def test_keys_bands_identical(key):
+    g = random_scene(key, 300, extent=1.0)
+    cam = _orbit_cam((64, 48))
+    kw = dict(depth=8, tile=(16, 16), max_candidates=384, max_global=32)
+    a = np.asarray(render_tiled_keys(g, cam, **kw))
+    b = np.asarray(render_tiled_keys(g, cam, tile_bands=3, **kw))
+    assert np.array_equal(a, b) or np.abs(a - b).max() < 1e-6
+
+
+def test_keys_kernel_interpret_matches_xla(key):
+    """The Pallas keys kernel (interpret mode) against the lax.top_k
+    formulation: identical keys incl. vacancy and tie order."""
+    from rtgs_tpu.ops.peel import (CHUNK, peel_keys_pallas, peel_keys_xla)
+    from rtgs_tpu.render.binning import tile_candidates
+    from rtgs_tpu.render.tiled import (_tile_pixel_features, pack_features,
+                                       precompute_features)
+
+    g = random_scene(key, 300, extent=1.0)
+    # Duplicate a few splats so exact t1 ties exist.
+    g = jax.tree.map(
+        lambda x: jnp.concatenate([x, x[:32]], axis=0), g)
+    cam = _orbit_cam((32, 32))
+    binning = tile_candidates(g, cam, tile=(16, 16), max_candidates=384,
+                              max_global=32)
+    cand = binning.candidates
+    pad_c = (-cand.shape[1]) % CHUNK
+    cand = jnp.pad(cand, ((0, 0), (0, pad_c)), constant_values=-1)
+    packed = pack_features(precompute_features(g, cam))
+    pix = _tile_pixel_features(cam, (16, 16))
+    t1_p, s_p = peel_keys_pallas(packed, cand, pix, 8)
+    t1_x, s_x = peel_keys_xla(packed, cand, pix, 8)
+    # Slots (the actual selection, incl. tie order and vacancies) must be
+    # IDENTICAL; t1 may differ in final bits (the interpreter evaluates
+    # dot_general per block, the XLA path over the full array).
+    np.testing.assert_array_equal(np.asarray(s_p), np.asarray(s_x))
+    a, b = np.asarray(t1_p), np.asarray(t1_x)
+    fin = np.isfinite(a)
+    assert (fin == np.isfinite(b)).all()
+    np.testing.assert_allclose(a[fin], b[fin], rtol=1e-5)
+
+
+def test_keys_gradients_match_tiled(key):
+    """Autodiff through shade_winners must equal autodiff through the
+    all-candidates tiled path (identical selection ⇒ identical piecewise-
+    smooth function)."""
+    g = random_scene(key, 200, extent=1.0)
+    cam = _orbit_cam((32, 32))
+    kw = dict(depth=8, tile=(16, 16), max_candidates=256, max_global=32)
+
+    def loss_keys(gg):
+        return jnp.sum(render_tiled_keys(gg, cam, **kw) ** 2)
+
+    def loss_tiled(gg):
+        return jnp.sum(render_tiled(gg, cam, **kw) ** 2)
+
+    gk = jax.grad(loss_keys)(g)
+    gt = jax.grad(loss_tiled)(g)
+    # Same normalized-quantile tolerance as the cross-implementation grad
+    # tests (test_parallel.py): the two paths accumulate per-candidate
+    # contributions in different orders (scatter-add of winners vs matmul
+    # over candidates), and a grazing-incidence winner can flip validity
+    # between the elementwise and matmul quadratic evaluations.
+    for name in ["means", "quats", "scales", "colors", "opacities", "sh"]:
+        a = np.asarray(getattr(gk, name))
+        b = np.asarray(getattr(gt, name))
+        assert np.isfinite(a).all(), name
+        rel = np.abs(a - b) / (np.abs(b).max() + 1e-8)
+        assert np.quantile(rel, 0.99) < 5e-3, (name, np.quantile(rel, 0.99))
+        assert rel.max() < 5e-2, (name, rel.max())
+
+
+def test_keys_with_stats(key):
+    g = random_scene(key, 200, extent=1.0)
+    cam = _orbit_cam((32, 32))
+    img, stats = render_tiled_keys(g, cam, depth=8, max_candidates=256,
+                                   max_global=32, with_stats=True)
+    assert int(stats["local_overflow"]) == 0
+    assert img.shape == (32, 32, 3)
