@@ -925,14 +925,21 @@ def peel_keys_xla(packed_feats, candidates, pix_feats, depth: int):
     return t1_k, slot
 
 
-def peel_keys(packed_feats, candidates, pix_feats, depth: int):
+def peel_keys(packed_feats, candidates, pix_feats, depth: int,
+              impl: str = "auto"):
     """Backend dispatcher for the keys-only top-K primitive. Index
     selection is piecewise-constant in the scene parameters, so inputs are
     stop_gradient'ed here — gradients flow through the XLA winner shading
-    instead (render/tiled.py:shade_winners)."""
+    instead (render/tiled.py:shade_winners).
+
+    ``impl``: "auto" (Pallas on TPU, XLA elsewhere), "pallas", or "xla" —
+    the explicit modes exist for the on-chip parity gate (bench.py renders
+    the same frame through both and compares)."""
     packed_feats = jax.lax.stop_gradient(packed_feats)
     pix_feats = jax.lax.stop_gradient(pix_feats)
-    if jax.default_backend() == "tpu":
+    use_pallas = (jax.default_backend() == "tpu" if impl == "auto"
+                  else impl == "pallas")
+    if use_pallas:
         return peel_keys_pallas(packed_feats, candidates, pix_feats, depth)
     return peel_keys_xla(packed_feats, candidates, pix_feats, depth)
 

@@ -40,8 +40,12 @@ from rtgs_tpu.utils import quaternion as quat
 _INT32_MAX = jnp.iinfo(jnp.int32).max
 
 
-_BLOCKED_SCAN_MIN = 1 << 25  # 33.5M — call sites use the monolithic
-# forms verbatim below this (cache-hit parity with the measured configs).
+_BLOCKED_SCAN_MIN = 1 << 22  # 4.2M — monolithic scans below this (XLA:TPU
+# compile time for a single scan explodes with length; round-3 measured a
+# 64M cumsum compiling >7 min vs 14 s for the two-level form. Round 4
+# lowered the threshold from 33.5M: every config re-measures this round,
+# so the old cache-parity constraint is gone, and the 1M configs must
+# never see a multi-million-element monolithic scan).
 
 
 def _blocked_scan(op, x, block: int = 8192):
@@ -175,31 +179,61 @@ def tile_candidates(
     dmax = jnp.maximum(jnp.max(jnp.where(live, depth, 0.0)), 1e-6)
     dq = jnp.clip(depth / dmax * 65535.0, 0, 65535).astype(jnp.int32)
 
-    # --- Local fan-out: one (tile, depth) key per covered tile. ---
-    dx = jnp.arange(mtx, dtype=jnp.int32)
-    dy = jnp.arange(mty, dtype=jnp.int32)
-    txs = tx0[:, None] + dx[None, :]                      # (N, mtx)
-    tys = ty0[:, None] + dy[None, :]                      # (N, mty)
-    tid = txs[:, :, None] * nty + tys[:, None, :]         # (N, mtx, mty)
-    pair_ok = (
-        is_local[:, None, None]
-        & (dx[None, :, None] < wx[:, None, None])
-        & (dy[None, None, :] < wy[:, None, None]))
-    tid = tid.reshape(n, mtx * mty)
-    pair_ok = pair_ok.reshape(n, mtx * mty)
+    # --- Local fan-out, two classes (measured round 4): ≥99.3% of splats
+    # at bench densities cover ≤ narrow×narrow tiles, so fanning every
+    # splat out to the full (mtx, mty) rectangle wastes ~7x the pair
+    # slots — and the flat O(N·mtx·mty) arrays were the 1M-scale compile
+    # bomb (64M-element cumsums). Narrow splats fan out to narrow² slots;
+    # the rare wide ones are compacted to a fixed budget first and fan
+    # out to (mtx, mty); wide splats beyond the budget spill to the
+    # GLOBAL list (conservative — appended to every tile), never dropped.
+    narrow = min(3, mtx, mty)
+    is_wide = is_local & ((wx > narrow) | (wy > narrow))
+    is_narrow = is_local & ~is_wide
 
-    if num_tiles <= (1 << 15) - 1:
-        key = jnp.where(pair_ok, tid * 65536 + dq[:, None], _INT32_MAX)
-        shift = 65536
+    def fan_out(sel, tx0s, ty0s, wxs, wys, dqs, span_x, span_y):
+        dx = jnp.arange(span_x, dtype=jnp.int32)
+        dy = jnp.arange(span_y, dtype=jnp.int32)
+        txs = tx0s[:, None] + dx[None, :]
+        tys = ty0s[:, None] + dy[None, :]
+        tid = txs[:, :, None] * nty + tys[:, None, :]
+        ok = (sel[:, None, None]
+              & (dx[None, :, None] < wxs[:, None, None])
+              & (dy[None, None, :] < wys[:, None, None]))
+        m = span_x * span_y
+        tid, ok = tid.reshape(-1, m), ok.reshape(-1, m)
+        if num_tiles <= (1 << 15) - 1:
+            key = jnp.where(ok, tid * 65536 + dqs[:, None], _INT32_MAX)
+        else:
+            # Too many tiles for a packed int32 key: sort by tile only
+            # (drop order becomes arbitrary within a tile).
+            key = jnp.where(ok, tid, _INT32_MAX)
+        return key
+
+    shift = 65536 if num_tiles <= (1 << 15) - 1 else 1
+
+    key_n = fan_out(is_narrow, tx0, ty0, wx, wy, dq, narrow, narrow)
+    val_n = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], key_n.shape)
+
+    if mtx > narrow or mty > narrow:
+        # Compact wide splats to a budget, then full-rectangle fan-out.
+        wlimit = max(64, n // 16)
+        wpos = jnp.cumsum(is_wide.astype(jnp.int32)) - 1
+        wdst = jnp.where(is_wide & (wpos < wlimit), wpos, wlimit)
+        widx = jnp.full((wlimit + 1,), n, jnp.int32).at[wdst].set(
+            jnp.arange(n, dtype=jnp.int32), mode="drop")[:wlimit]
+        wlive = widx < n
+        wsafe = jnp.minimum(widx, n - 1)
+        key_w = fan_out(wlive, tx0[wsafe], ty0[wsafe], wx[wsafe],
+                        wy[wsafe], dq[wsafe], mtx, mty)
+        val_w = jnp.broadcast_to(wsafe[:, None], key_w.shape)
+        # Budget spill → global list (kept conservative, not dropped).
+        is_global = is_global | (is_wide & (wpos >= wlimit))
+        key_f = jnp.concatenate([key_n.reshape(-1), key_w.reshape(-1)])
+        val_f = jnp.concatenate([val_n.reshape(-1), val_w.reshape(-1)])
     else:
-        # Too many tiles for a packed int32 key: sort by tile only (drop
-        # order becomes arbitrary within a tile).
-        key = jnp.where(pair_ok, tid, _INT32_MAX)
-        shift = 1
-
-    vals = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None], (n, mtx * mty))
-    key_f, val_f = key.reshape(-1), vals.reshape(-1)
+        key_f, val_f = key_n.reshape(-1), val_n.reshape(-1)
 
     # --- Compact live pairs before sorting (prefix-sum stream compaction,
     # the XLA idiom replacing the reference's atomic counters,

@@ -373,7 +373,7 @@ def shade_winners(packed: jnp.ndarray, cand: jnp.ndarray,
 @partial(jax.jit, static_argnames=("depth", "tile", "max_candidates",
                                    "max_global", "max_tiles_local",
                                    "pairs_budget", "with_stats",
-                                   "tile_bands"))
+                                   "tile_bands", "keys_impl"))
 def render_tiled_keys(
     g: G.Gaussians,
     camera: Camera,
@@ -386,6 +386,7 @@ def render_tiled_keys(
     with_stats: bool = False,
     tile_bands: int | None = None,
     pixel_offset=None,
+    keys_impl: str = "auto",
 ):
     """Full-frame render via the keys-only kernel + XLA winner shading.
 
@@ -418,7 +419,8 @@ def render_tiled_keys(
     pix = _tile_pixel_features(camera, tile, pixel_offset)
 
     def band(cand_b, pix_b):
-        t1_k, slot_k = peel_keys(packed, cand_b, pix_b, depth)
+        t1_k, slot_k = peel_keys(packed, cand_b, pix_b, depth,
+                                 impl=keys_impl)
         alpha_k, rgb_k = shade_winners(packed, cand_b, slot_k, pix_b)
         rad, _trans = composite_hits(t1_k, alpha_k, rgb_k)
         return rad                                   # (Tb, P, 3)

@@ -35,9 +35,12 @@ class MultiviewDataset(NamedTuple):
 
 def synthetic_orbit_dataset(g, num_views: int, res, fov: float = 60.0,
                             radius: float = 3.0, phi: float = 1.2,
-                            depth: int = 16, renderer: str = "auto"
-                            ) -> MultiviewDataset:
-    """Render ground-truth views of ``g`` from an orbit of poses."""
+                            depth: int = 16, renderer: str = "auto",
+                            **render_kwargs) -> MultiviewDataset:
+    """Render ground-truth views of ``g`` from an orbit of poses.
+
+    ``render_kwargs`` forward to the renderer (e.g. ``max_candidates`` —
+    large scenes need the same overflow-free budgets as the fit loop)."""
     from rtgs_tpu.render.api import render
     from rtgs_tpu.viewer.orbit import orbit_camera_pose
 
@@ -50,7 +53,7 @@ def synthetic_orbit_dataset(g, num_views: int, res, fov: float = 60.0,
         cam = camera_from_fov(pos, rot, res, fov)
         cams.append(cam)
         imgs.append(np.asarray(render(g, cam, depth=depth,
-                                      renderer=renderer)))
+                                      renderer=renderer, **render_kwargs)))
     return MultiviewDataset(cams, imgs)
 
 

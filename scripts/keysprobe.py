@@ -68,6 +68,7 @@ def main():
     ap.add_argument("--glob", type=int, default=128)
     ap.add_argument("--bands", type=int, default=0)
     ap.add_argument("--binstages", action="store_true")
+    ap.add_argument("--shadestages", action="store_true")
     ap.add_argument("--fused", action="store_true",
                     help="also time the round-3 fused-payload path")
     args = ap.parse_args()
@@ -141,6 +142,58 @@ def main():
         fusedf = jax.jit(lambda g: render_tiled_pallas(
             g, cam, depth=args.depth, **kw))
         _, t_f = timeit("fused full fwd", fusedf, g)
+
+    if args.shadestages:
+        print("--- shade internals (chained x8) ---")
+        t, c2 = cand.shape
+        p, k = pix.shape[1], args.depth
+        slot_k = keys[1]
+        it = 8
+
+        def chain(name, body, x0):
+            f = jax.jit(lambda x: jax.lax.fori_loop(
+                0, it, lambda i, x: body(x, i), x0))
+            out = f(x0)
+            _ = np.asarray(jax.tree.leaves(out)[0].reshape(-1)[:8])
+            ts = []
+            for _i in range(5):
+                t0 = time.perf_counter()
+                out = f(x0)
+                _ = np.asarray(jax.tree.leaves(out)[0].reshape(-1)[:8])
+                ts.append(time.perf_counter() - t0)
+            ts.sort()
+            print(f"{name:24s}: {(ts[2]-0.027)/it*1e3:8.2f} ms/iter")
+
+        slotn = jnp.where(jnp.isfinite(slot_k), slot_k,
+                          jnp.float32(c2)).astype(jnp.int32)
+        cand_pad = jnp.concatenate(
+            [cand, jnp.full((t, 1), -1, jnp.int32)], axis=1)
+        splat = jnp.take_along_axis(
+            cand_pad, slotn.reshape(t, p * k), axis=1)
+        n_sent = packed.shape[0] - 1
+        safe = jnp.where(splat >= 0, splat, n_sent)
+        jax.block_until_ready((slotn, safe))
+
+        chain("take_along (T,PK)",
+              lambda x, i: jnp.take_along_axis(
+                  cand_pad, (x + i) % (c2 + 1), axis=1), slotn.reshape(t, -1))
+        chain("rows gather (T,PK,64)",
+              lambda x, i: packed[(x + i) % (n_sent + 1)].sum(-1)
+              .astype(jnp.int32), safe)
+
+        def shade_only(x, i):
+            a, rgb = shade_winners(packed, cand, slot_k + 0.0 * x, pix)
+            return x + a[0, 0, 0]
+
+        chain("full shade_winners", shade_only, jnp.float32(0.0))
+
+        def comp_only(x, i):
+            from rtgs_tpu.render.oracle import composite_hits as ch
+            a = jnp.abs(keys[0] + x) % 1.0
+            r = jnp.stack([a, a, a], -1)
+            return x + ch(keys[0], a, r)[0][0, 0, 0]
+
+        chain("composite only", comp_only, jnp.float32(0.0))
 
     if args.binstages:
         print("--- binning internals ---")
