@@ -393,6 +393,60 @@ def _keys_update(depth, c, pix, feats_ref, st):
     return nt1, jnp.where(jnp.isfinite(nt1), nord, jnp.inf)
 
 
+def _merge_topk_lex(depth, state, t1, sid):
+    """Exact top-K merge by LEXICOGRAPHIC (t1, sid) — the splat-id variant
+    of :func:`_merge_topk` used by the keys-only kernel.
+
+    ``state``: (t1_k, sid_k) each (..., K), sorted ascending by (t1, sid),
+    vacant layers (+inf, +inf). ``t1``/``sid``: the chunk's (..., C)
+    depths and (..., C)-broadcastable splat ids (+inf on padding).
+
+    Ties in t1 break to the LOWER SPLAT ID — exactly the reference
+    traversal's first-seen-nearest rule over its prim order
+    (``/root/reference/src/rtgs/scene.py:429-437``) and our oracle's
+    lane order. Each pass extracts the minimum by value (min t1, then min
+    sid among the t1-minimal lanes) — no lane-index bookkeeping, which
+    also makes this CHEAPER than the slot-ordinal merge (2 cross-lane
+    reductions per pass instead of 3)."""
+    t1m = jnp.concatenate([state[0], t1], axis=-1)
+    sidm = jnp.concatenate([state[1], jnp.broadcast_to(sid, t1.shape)],
+                           axis=-1)
+    klane = _lane(state[0].shape)                           # (..., K)
+    out_t1 = jnp.full_like(state[0], jnp.inf)
+    out_sid = jnp.full_like(state[1], jnp.inf)
+
+    def body(k, carry):
+        t1m, sidm, out_t1, out_sid = carry
+        m = jnp.min(t1m, axis=-1, keepdims=True)            # (..., 1)
+        finite = jnp.isfinite(m)
+        sel = t1m == m
+        s = jnp.min(jnp.where(sel, sidm, jnp.inf), axis=-1,
+                    keepdims=True)
+        first = sel & (sidm == s)
+        at_k = klane == k
+        out_t1 = jnp.where(at_k & finite, m, out_t1)
+        out_sid = jnp.where(at_k & finite, s, out_sid)
+        t1m = jnp.where(first, jnp.inf, t1m)
+        return t1m, sidm, out_t1, out_sid
+
+    carry = jax.lax.fori_loop(0, depth, body,
+                              (t1m, sidm, out_t1, out_sid))
+    return carry[2], carry[3]
+
+
+def _keys_sid_update(depth, c, pix, feats_ref, sid_ref, st):
+    """Keys chunk step carrying SPLAT IDS instead of candidate slots.
+
+    Returning ids directly kills the slot→splat ``take_along_axis`` on
+    the XLA side, which measured 40 ms at 100k@384p — 3.9M scalar
+    gathers of int32, the single slowest op in the round-4 pipeline."""
+    off = pl.multiple_of(c * CHUNK, CHUNK)
+    feats = feats_ref[:, pl.ds(off, CHUNK), :]   # (B, CHUNK, F)
+    sid = sid_ref[:, :, pl.ds(off, CHUNK)]       # (B, 1, CHUNK)
+    t1, _a, _b, _cq, _delta = _intersect_t1(feats, pix)
+    return _merge_topk_lex(depth, st, t1, sid)
+
+
 def _extract_update(depth, c, pix, feats_ref, slot_k, ext):
     """Phase-2 chunk step: re-shade the chunk and gather each winning
     layer's payload by its saved global ord. Runs over the same ``nc``
@@ -854,6 +908,21 @@ def _peel_topk_bwd_rule(depth, residuals, grads):
 peel_topk_pallas.defvjp(_peel_topk_fwd_rule, _peel_topk_bwd_rule)
 
 
+def _keys_sid_kernel(depth, bmax_ref, feats_ref, sid_ref, pix_ref, out_ref):
+    """Keys-only forward returning (t1, splat id) per layer — see
+    :func:`_keys_sid_update`. out lanes: [0:K] t1, [K:2K] splat id (f32,
+    exact for ids < 2²⁴; +inf vacant)."""
+    i = pl.program_id(0)
+    pix = pix_ref[...]
+    keys = jax.lax.fori_loop(
+        0, pl.cdiv(bmax_ref[i], CHUNK),
+        lambda c, st: _keys_sid_update(depth, c, pix, feats_ref, sid_ref,
+                                       st),
+        _init_keys(pix.shape[0], pix.shape[1], depth))
+    out_ref[:, :, 0:depth] = keys[0]
+    out_ref[:, :, depth:2 * depth] = keys[1]
+
+
 def _keys_kernel(depth, bmax_ref, feats_ref, pix_ref, out_ref):
     """Keys-only forward: the phase-1 sweep alone — per pixel, the K
     nearest layers' (t1, global candidate slot), nothing else.
@@ -878,51 +947,64 @@ def _keys_kernel(depth, bmax_ref, feats_ref, pix_ref, out_ref):
 
 
 def peel_keys_pallas(packed_feats, candidates, pix_feats, depth: int):
-    """Fused keys-only tile top-K (see :func:`_keys_kernel`).
+    """Fused keys-only tile top-K (see :func:`_keys_sid_kernel`).
 
-    Args/shapes as :func:`peel_pallas`. Returns ``(t1, slot)`` each
-    ``(T, P, K)`` depth-ascending; ``slot`` is the per-tile candidate slot
-    as f32 (+inf for vacant layers). NOT differentiable — callers must
-    ``stop_gradient`` the inputs (:func:`peel_keys` does)."""
+    Args/shapes as :func:`peel_pallas`. Returns ``(t1, sid)`` each
+    ``(T, P, K)`` depth-ascending; ``sid`` is the winning GAUSSIAN INDEX
+    as f32 (+inf for vacant layers) — returning ids instead of candidate
+    slots saves a measured 40 ms slot→splat translation gather. NOT
+    differentiable — callers must ``stop_gradient`` the inputs
+    (:func:`peel_keys` does)."""
     gathered, _ = _gather(packed_feats, candidates)
     t, c, f = gathered.shape
     assert c % CHUNK == 0, c
     p = pix_feats.shape[1]
-    gathered, bmax, pix, bt, nb, _ = _block_pad(
-        gathered, _counts(candidates), pix_feats)
+    # (T, 1, C) so the BlockSpec's last two dims equal the array dims
+    # (Mosaic's block-shape divisibility rule).
+    sidf = jnp.where(candidates >= 0, candidates.astype(jnp.float32),
+                     jnp.inf)[:, None, :]
+    gathered, bmax, pix, bt, nb, (sidf,) = _block_pad(
+        gathered, _counts(candidates), pix_feats, sidf)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((bt, c, f), lambda i, bmax_ref: (i, 0, 0)),
+            pl.BlockSpec((bt, 1, c), lambda i, bmax_ref: (i, 0, 0)),
             pl.BlockSpec((bt, p, G_DIM), lambda i, bmax_ref: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((bt, p, 2 * depth),
                                lambda i, bmax_ref: (i, 0, 0)),
     )
     out = pl.pallas_call(
-        functools.partial(_keys_kernel, depth),
+        functools.partial(_keys_sid_kernel, depth),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb * bt, p, 2 * depth), jnp.float32),
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(bmax, gathered, pix)
+    )(bmax, gathered, sidf, pix)
     out = out[:t]
     return out[..., 0:depth], out[..., depth:2 * depth]
 
 
 def peel_keys_xla(packed_feats, candidates, pix_feats, depth: int):
-    """Identical-semantics keys via ``jax.lax.top_k`` (CPU/GPU fallback —
-    ties break to the lower lane, same as the kernel's argmin-extract)."""
+    """Identical-semantics keys via a lexicographic (t1, sid) lane sort —
+    ties break to the lower splat id, exactly like the kernel's
+    :func:`_merge_topk_lex` (and the oracle's lane order)."""
     gathered, _ = _gather(packed_feats, candidates)
     t1, _a, _b, _cq, _delta = _intersect_t1(gathered, pix_feats)
-    negt, idx = jax.lax.top_k(-t1, depth)
-    t1_k = -negt
-    slot = jnp.where(jnp.isfinite(t1_k), idx.astype(jnp.float32), jnp.inf)
-    return t1_k, slot
+    sid = jnp.where(candidates >= 0, candidates.astype(jnp.float32),
+                    jnp.inf)
+    sid = jnp.broadcast_to(sid[:, None, :], t1.shape)
+    t1_s, sid_s = jax.lax.sort((t1, sid), dimension=-1, num_keys=2)
+    t1_k = t1_s[..., :depth]
+    # Vacant layers (no hit): mask the sid — a miss still carries its
+    # candidate's id through the sort.
+    sid_k = jnp.where(jnp.isfinite(t1_k), sid_s[..., :depth], jnp.inf)
+    return t1_k, sid_k
 
 
 def peel_keys(packed_feats, candidates, pix_feats, depth: int,

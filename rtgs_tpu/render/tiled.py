@@ -303,21 +303,24 @@ def render_tiled_pallas(
     return img
 
 
-def shade_winners(packed: jnp.ndarray, cand: jnp.ndarray,
-                  slot_k: jnp.ndarray, pix: jnp.ndarray):
-    """Shade the K winning layers per pixel from their candidate slots.
+def shade_winners(packed: jnp.ndarray, sid_k: jnp.ndarray,
+                  pix: jnp.ndarray):
+    """Shade the K winning layers per pixel from their Gaussian indices.
 
-    The keys-only kernel (``ops/peel.py:_keys_kernel``) selects winners;
-    this computes their contribution with plain differentiable XLA — the
-    gathers transpose to scatter-adds under autodiff, so this function IS
-    the renderer's backward path (no hand-written kernel VJP needed).
+    The keys-only kernel (``ops/peel.py:_keys_sid_kernel``) selects
+    winners and returns their SPLAT IDS directly (a round-4 change: the
+    earlier candidate-slot form required a slot→splat ``take_along_axis``
+    that measured 40 ms — 3.9M scalar gathers, the slowest op in the
+    pipeline); this computes their contribution with plain differentiable
+    XLA — the row gather transposes to a scatter-add under autodiff, so
+    this function IS the renderer's backward path (no kernel VJP needed).
 
     Shape discipline (measured, round 4): gathering per-field tables
     (m6 (·,6), sh (·,15,3)) materializes buffers whose minor dims pad to
     the (8, 128) TPU tile — a 20-40x physical blowup that cost 212 ms at
     100k@384p. Instead gather the ONE lane-packed (N+1, 64) feature row
-    per winner (2x lane pad only) and let XLA fuse every slice/multiply/
-    reduce of it — nothing else materializes.
+    per winner (2x lane pad only, measured 9.8 ms) and let XLA fuse every
+    slice/multiply/reduce of it — nothing else materializes.
 
     The quadratic runs as *elementwise* f32 mul/add over the gathered
     rows — exact f32, so the round-3 MXU bf16 cancellation bug class
@@ -327,24 +330,21 @@ def shade_winners(packed: jnp.ndarray, cand: jnp.ndarray,
     Args:
       packed: (N+1, 64) lane-packed feature table (``pack_features``;
         row N = sentinel with c0 = 1e30).
-      cand: (T, C) int32 candidate slots → Gaussian indices, -1 padded.
-      slot_k: (T, P, K) f32 winning candidate slots, +inf for vacant.
+      sid_k: (T, P, K) f32 winning Gaussian indices, +inf for vacant.
       pix: (T, P, 24) per-pixel features (dir, d-quadratic, SH basis).
 
     Returns:
-      (alpha (T, P, K), rgb (T, P, K, 3)); vacant layers get alpha = 0.
+      (alpha, r, g, b) each (T, P, K) — channels SEPARATE: a stacked
+      (T, P, K, 3) output's minor dim pads 3→128 on TPU (42x physical
+      blowup, ~2 GB at 100k@384p); split channels stay at the 8x K-pad.
+      Vacant layers get alpha = 0.
     """
-    t, c2 = cand.shape
-    p, k = slot_k.shape[1], slot_k.shape[2]
-    slotn = jnp.where(jnp.isfinite(slot_k), slot_k,
-                      jnp.float32(c2)).astype(jnp.int32)
-    cand_pad = jnp.concatenate(
-        [cand, jnp.full((t, 1), -1, jnp.int32)], axis=1)
-    splat = jnp.take_along_axis(cand_pad, slotn.reshape(t, p * k), axis=1)
+    t, p, k = sid_k.shape
     n_sentinel = packed.shape[0] - 1
-    safe = jnp.where(splat >= 0, splat, n_sentinel)    # (T, P·K)
+    safe = jnp.where(jnp.isfinite(sid_k), sid_k,
+                     jnp.float32(n_sentinel)).astype(jnp.int32)
 
-    rows = packed[safe].reshape(t, p, k, packed.shape[1])
+    rows = packed[safe.reshape(t, p * k)].reshape(t, p, k, packed.shape[1])
 
     d = pix[:, :, None, 0:3]                           # (T, P, 1, 3)
     fd = pix[:, :, None, 3:9]
@@ -363,17 +363,159 @@ def shade_winners(packed: jnp.ndarray, cand: jnp.ndarray,
     rho = jnp.exp(jnp.where(delta > 0.0,
                             b * b / (4.0 * a) - (cq + 3.0), -jnp.inf))
     alpha = jnp.where(valid, op * rho, 0.0)
-    rgb = jnp.stack(
-        [rows[..., 11 + ch]
-         + jnp.sum(y * rows[..., 14 + 15 * ch: 29 + 15 * ch], axis=-1)
-         for ch in range(3)], axis=-1)                 # (T, P, K, 3)
-    return alpha, rgb
+    chans = [rows[..., 11 + ch]
+             + jnp.sum(y * rows[..., 14 + 15 * ch: 29 + 15 * ch], axis=-1)
+             for ch in range(3)]                       # 3 × (T, P, K)
+    return alpha, chans[0], chans[1], chans[2]
+
+
+def _shade_kp_impl(packed, sid_kp, pix):
+    t, k, p = sid_kp.shape
+    n_sentinel = packed.shape[0] - 1
+    safe = jnp.where(jnp.isfinite(sid_kp), sid_kp,
+                     jnp.float32(n_sentinel)).astype(jnp.int32)
+
+    rows = packed[safe.reshape(t, k * p)].reshape(t, k, p, packed.shape[1])
+
+    # One small transpose (T, P, 24) → (T, 24, P); the contractions over
+    # 6/3/15 feature lanes unroll as fused multiply-adds of (T, K, P)
+    # slices — no 4-D transposes, no padded temporaries.
+    pixT = pix.transpose(0, 2, 1)                      # (T, 24, P)
+
+    def pf(j):
+        return pixT[:, None, j, :]                     # (T, 1, P)
+
+    a = sum(pf(3 + j) * rows[..., j] for j in range(6))
+    b = 2.0 * sum(pf(j) * rows[..., 6 + j] for j in range(3))
+    c0 = rows[..., 9]                                  # (T, K, P)
+    op = rows[..., 10]
+    cq = jnp.minimum(c0, 1e30)
+    delta = b * b - 4.0 * a * cq
+    sq = jnp.sqrt(jnp.where(delta > 0, delta, 0.0))
+    t1 = (-b - sq) / (2.0 * a)
+    valid = (delta > 0.0) & (t1 > 0.0)
+    rho = jnp.exp(jnp.where(delta > 0.0,
+                            b * b / (4.0 * a) - (cq + 3.0), -jnp.inf))
+    alpha = jnp.where(valid, op * rho, 0.0)
+    chans = [rows[..., 11 + ch]
+             + sum(pf(9 + j) * rows[..., 14 + 15 * ch + j]
+                   for j in range(15))
+             for ch in range(3)]
+    # NB: ``rows`` is deliberately NOT part of the residuals — the
+    # backward never reads it (every cotangent is a pixel-feature ×
+    # chain-factor product), and at 1M@1080p it is the one 64-lane-wide
+    # buffer that would not fit saved per band.
+    return (alpha, chans[0], chans[1], chans[2]), (safe, pixT, a, b,
+                                                   cq, delta, valid, rho,
+                                                   op)
+
+
+@jax.custom_vjp
+def shade_winners_kp(packed: jnp.ndarray, sid_kp: jnp.ndarray,
+                     pix: jnp.ndarray):
+    """(T, K, P)-layout twin of :func:`shade_winners`.
+
+    With K (=16, a sublane multiple) second-minor and P (=256, a lane
+    multiple) minor, every (T, K, P) intermediate is physically UNPADDED
+    on TPU — the (T, P, K) layout pads K→128 lanes (8x) on each of the
+    ~10 elementwise temporaries; measured 13 ms vs 50 ms at 100k@384p.
+    ``sid_kp`` is (T, K, P); pixel features broadcast along the K
+    (sublane) axis for free inside fusions.
+
+    Hand-written VJP: autodiff of the unrolled forward builds the rows
+    cotangent from 59 strided slice-VJPs (measured +77 ms); the custom
+    backward assembles the SAME cotangent as one dense 64-lane stack and
+    a single scatter-add into the feature table. Differentiable w.r.t.
+    ``packed`` only — ``sid_kp`` is index selection and ``pix`` (camera)
+    gradients are not propagated on this path (the oracle/tiled paths
+    differentiate cameras if ever needed).
+
+    Returns (alpha, r, g, b) each (T, K, P)."""
+    out, _ = _shade_kp_impl(packed, sid_kp, pix)
+    return out
+
+
+def _shade_kp_fwd(packed, sid_kp, pix):
+    out, res = _shade_kp_impl(packed, sid_kp, pix)
+    # ``packed`` rides in the residuals only as a zeros_like template for
+    # the scatter-add (an alias, not a copy).
+    return out, (packed, res)
+
+
+def _shade_kp_bwd(residuals, cots):
+    packed, (safe, pixT, a, b, cq, delta, valid, rho, op) = residuals
+    d_alpha, d_r, d_g, d_b_ch = cots
+    d_chans = (d_r, d_g, d_b_ch)
+
+    def pf(j):
+        return pixT[:, None, j, :]
+
+    validf = valid.astype(jnp.float32)
+    pos = (delta > 0.0).astype(jnp.float32)
+    d_op = validf * rho * d_alpha
+    d_rho = validf * op * d_alpha
+    d_q = pos * rho * d_rho          # rho = exp(q) when delta>0, else 0
+    d_b = (b / (2.0 * a)) * d_q
+    d_a = -(b * b) / (4.0 * a * a) * d_q
+    d_c0 = jnp.where(cq < 1e30, -d_q, 0.0)
+
+    lanes = []
+    for j in range(6):                       # 0:6   m6 ← a
+        lanes.append(pf(3 + j) * d_a)
+    for j in range(3):                       # 6:9   me ← b
+        lanes.append(2.0 * pf(j) * d_b)
+    lanes.append(d_c0)                       # 9
+    lanes.append(d_op)                       # 10
+    for ch in range(3):                      # 11:14 base color
+        lanes.append(d_chans[ch])
+    for ch in range(3):                      # 14:59 SH
+        for j in range(15):
+            lanes.append(pf(9 + j) * d_chans[ch])
+    t, k, p = safe.shape
+    f = packed.shape[1]
+    zero = jnp.zeros_like(d_alpha)
+    while len(lanes) < f:
+        lanes.append(zero)
+    d_rows = jnp.stack([jnp.broadcast_to(x, (t, k, p)) for x in lanes],
+                       axis=-1)              # (T, K, P, 64)
+    d_packed = jnp.zeros_like(packed).at[
+        safe.reshape(-1)].add(d_rows.reshape(-1, f))
+    return d_packed, None, None
+
+
+shade_winners_kp.defvjp(_shade_kp_fwd, _shade_kp_bwd)
+
+
+def composite_layers_kp(alpha, r, g, b):
+    """Composite for the (T, K, P) layout: exclusive cumprod over the K
+    (sublane) axis. Returns radiance (T, P, 3)."""
+    one_minus = 1.0 - alpha
+    trans = jnp.concatenate(
+        [jnp.ones_like(alpha[:, :1]),
+         jnp.cumprod(one_minus[:, :-1], axis=1)], axis=1)
+    w = trans * alpha
+    return jnp.stack([jnp.sum(w * r, 1), jnp.sum(w * g, 1),
+                      jnp.sum(w * b, 1)], axis=-1)
+
+
+def composite_layers(alpha, r, g, b):
+    """Front-to-back composite of depth-ascending CHANNEL-SPLIT layers
+    (``ray_tracer.py:96-98`` semantics, exclusive-cumprod transmittance).
+    All inputs (T, P, K); returns radiance (T, P, 3)."""
+    one_minus = 1.0 - alpha
+    trans = jnp.concatenate(
+        [jnp.ones_like(alpha[..., :1]),
+         jnp.cumprod(one_minus[..., :-1], axis=-1)], axis=-1)
+    w = trans * alpha
+    return jnp.stack([jnp.sum(w * r, -1), jnp.sum(w * g, -1),
+                      jnp.sum(w * b, -1)], axis=-1)
 
 
 @partial(jax.jit, static_argnames=("depth", "tile", "max_candidates",
                                    "max_global", "max_tiles_local",
                                    "pairs_budget", "with_stats",
-                                   "tile_bands", "keys_impl"))
+                                   "tile_bands", "keys_impl",
+                                   "shade_layout"))
 def render_tiled_keys(
     g: G.Gaussians,
     camera: Camera,
@@ -387,6 +529,7 @@ def render_tiled_keys(
     tile_bands: int | None = None,
     pixel_offset=None,
     keys_impl: str = "auto",
+    shade_layout: str = "kp",
 ):
     """Full-frame render via the keys-only kernel + XLA winner shading.
 
@@ -399,7 +542,6 @@ def render_tiled_keys(
     """
     from rtgs_tpu.ops.peel import peel_keys
     from rtgs_tpu.render.binning import tile_candidates
-    from rtgs_tpu.render.oracle import composite_hits
 
     w, h = camera.buf_size
     tw, th = tile
@@ -419,11 +561,14 @@ def render_tiled_keys(
     pix = _tile_pixel_features(camera, tile, pixel_offset)
 
     def band(cand_b, pix_b):
-        t1_k, slot_k = peel_keys(packed, cand_b, pix_b, depth,
+        _t1_k, sid_k = peel_keys(packed, cand_b, pix_b, depth,
                                  impl=keys_impl)
-        alpha_k, rgb_k = shade_winners(packed, cand_b, slot_k, pix_b)
-        rad, _trans = composite_hits(t1_k, alpha_k, rgb_k)
-        return rad                                   # (Tb, P, 3)
+        if shade_layout == "kp":
+            sid_kp = sid_k.transpose(0, 2, 1)        # (Tb, K, P)
+            layers = shade_winners_kp(packed, sid_kp, pix_b)
+            return composite_layers_kp(*layers)      # (Tb, P, 3)
+        layers = shade_winners(packed, sid_k, pix_b)
+        return composite_layers(*layers)             # (Tb, P, 3)
 
     t = cand.shape[0]
     if tile_bands and tile_bands > 1:

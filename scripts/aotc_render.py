@@ -3,7 +3,8 @@ gather + bands + kernel) at a given scene size — isolates whether a config
 that hangs the remote compile helper is a genuine compile bomb or a
 tunnel-side wedge (the local libtpu is the same compiler).
 
-Usage: python scripts/aotc_render.py [n] [w] [h] [mc] [bands]
+Usage: python scripts/aotc_render.py [n] [w] [h] [mc] [bands] [mode]
+  mode: pallas | keys | keysgrad (default pallas)
 """
 
 from __future__ import annotations
@@ -64,13 +65,25 @@ def main():
     shaped = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sh), g)
 
-    def fn(g):
-        return tiled.render_tiled_pallas(
-            g, cam, depth=16, tile=(16, 16), max_candidates=mc,
-            max_global=128, tile_bands=bands if bands > 1 else None,
-            with_stats=True)
+    mode = sys.argv[6] if len(sys.argv) > 6 else "pallas"
 
-    print(f"n={n} {w}x{h} mc={mc} bands={bands}", flush=True)
+    def fn(g):
+        if mode == "pallas":
+            return tiled.render_tiled_pallas(
+                g, cam, depth=16, tile=(16, 16), max_candidates=mc,
+                max_global=128, tile_bands=bands if bands > 1 else None,
+                with_stats=True)
+        if mode == "keys":
+            return tiled.render_tiled_keys(
+                g, cam, depth=16, tile=(16, 16), max_candidates=mc,
+                max_global=128, tile_bands=bands if bands > 1 else None,
+                with_stats=True)
+        return jax.grad(lambda gg: jnp.sum(tiled.render_tiled_keys(
+            gg, cam, depth=16, tile=(16, 16), max_candidates=mc,
+            max_global=128,
+            tile_bands=bands if bands > 1 else None)))(g)
+
+    print(f"n={n} {w}x{h} mc={mc} bands={bands} mode={mode}", flush=True)
     t0 = time.perf_counter()
     lowered = jax.jit(fn).trace(shaped).lower(lowering_platforms=("tpu",))
     t1 = time.perf_counter()

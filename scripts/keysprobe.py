@@ -69,6 +69,9 @@ def main():
     ap.add_argument("--bands", type=int, default=0)
     ap.add_argument("--binstages", action="store_true")
     ap.add_argument("--shadestages", action="store_true")
+    ap.add_argument("--chain", type=int, default=0,
+                    help="chain N full renders in-graph for steady-state "
+                         "per-frame cost")
     ap.add_argument("--fused", action="store_true",
                     help="also time the round-3 fused-payload path")
     args = ap.parse_args()
@@ -116,13 +119,24 @@ def main():
     keys, t_keys = timeit("keys kernel", keysf, packed, cand, pix,
                           readout=lambda o: o[0])
 
-    def shade(packed, cand, slot_k, pix, t1_k):
-        a, rgb = shade_winners(packed, cand, slot_k, pix)
-        return composite_hits(t1_k, a, rgb)[0]
+    from rtgs_tpu.render.tiled import (composite_layers,
+                                       composite_layers_kp,
+                                       shade_winners_kp)
+
+    def shade(packed, sid_k, pix):
+        a, r, gc, b = shade_winners(packed, sid_k, pix)
+        return composite_layers(a, r, gc, b)
 
     shadef = jax.jit(shade)
-    _, t_shade = timeit("shade+composite", shadef, packed, cand, keys[1],
-                        pix, keys[0])
+    _, t_shade = timeit("shade+composite pk", shadef, packed, keys[1], pix)
+
+    def shade_kp(packed, sid_k, pix):
+        a, r, gc, b = shade_winners_kp(packed, sid_k.transpose(0, 2, 1),
+                                       pix)
+        return composite_layers_kp(a, r, gc, b)
+
+    _, t_shade2 = timeit("shade+composite kp", jax.jit(shade_kp), packed,
+                         keys[1], pix)
 
     fullf = jax.jit(lambda g: render_tiled_keys(
         g, cam, depth=args.depth, **kw, **bands))
@@ -137,6 +151,41 @@ def main():
                        readout=lambda gr: gr.means)
     print(f"  => fwd {rays/t_full/1e6:.2f} Mrays/s, "
           f"fwd+bwd {rays/t_grad/1e6:.2f} Mrays/s")
+
+    if args.chain:
+        # Steady-state per-frame cost: chain the full render in-graph so
+        # dispatch overhead amortizes and DMA pipelines across frames —
+        # the number a production serving loop would see.
+        it = args.chain
+
+        def fwd_body(x, i):
+            img = render_tiled_keys(
+                g._replace(means=g.means + 0.0 * x), cam,
+                depth=args.depth, **kw, **bands)
+            return x + img[0, 0, 0]
+
+        def fb_body(x, i):
+            gr = jax.grad(lambda gg: jnp.sum(render_tiled_keys(
+                gg, cam, depth=args.depth, **kw, **bands)))(
+                g._replace(means=g.means + 0.0 * x))
+            return x + gr.means[0, 0]
+
+        for name, body in [("chained fwd", fwd_body),
+                           ("chained fwd+bwd", fb_body)]:
+            f = jax.jit(lambda x, body=body: jax.lax.fori_loop(
+                0, it, lambda i, x: body(x, i), x))
+            x0 = jnp.float32(0.0)
+            out = f(x0)
+            _ = float(out)
+            ts = []
+            for _i in range(3):
+                t0 = time.perf_counter()
+                _ = float(f(x0))
+                ts.append(time.perf_counter() - t0)
+            ts.sort()
+            dt = max(ts[1] - 0.027, 1e-9) / it
+            print(f"{name:20s}: {dt*1e3:8.2f} ms/frame "
+                  f"({rays/dt/1e6:6.2f} Mrays/s) [x{it} chained]")
 
     if args.fused:
         fusedf = jax.jit(lambda g: render_tiled_pallas(
@@ -164,25 +213,18 @@ def main():
             ts.sort()
             print(f"{name:24s}: {(ts[2]-0.027)/it*1e3:8.2f} ms/iter")
 
-        slotn = jnp.where(jnp.isfinite(slot_k), slot_k,
-                          jnp.float32(c2)).astype(jnp.int32)
-        cand_pad = jnp.concatenate(
-            [cand, jnp.full((t, 1), -1, jnp.int32)], axis=1)
-        splat = jnp.take_along_axis(
-            cand_pad, slotn.reshape(t, p * k), axis=1)
         n_sent = packed.shape[0] - 1
-        safe = jnp.where(splat >= 0, splat, n_sent)
-        jax.block_until_ready((slotn, safe))
+        safe = jnp.where(jnp.isfinite(slot_k), slot_k,
+                         jnp.float32(n_sent)).astype(jnp.int32
+                                                     ).reshape(t, p * k)
+        jax.block_until_ready(safe)
 
-        chain("take_along (T,PK)",
-              lambda x, i: jnp.take_along_axis(
-                  cand_pad, (x + i) % (c2 + 1), axis=1), slotn.reshape(t, -1))
         chain("rows gather (T,PK,64)",
               lambda x, i: packed[(x + i) % (n_sent + 1)].sum(-1)
               .astype(jnp.int32), safe)
 
         def shade_only(x, i):
-            a, rgb = shade_winners(packed, cand, slot_k + 0.0 * x, pix)
+            a, _r, _g, _b = shade_winners(packed, slot_k + 0.0 * x, pix)
             return x + a[0, 0, 0]
 
         chain("full shade_winners", shade_only, jnp.float32(0.0))
