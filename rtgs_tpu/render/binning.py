@@ -263,15 +263,18 @@ def tile_candidates(
     total = key_s.shape[0]
     iota = jnp.arange(total, dtype=jnp.int32)
     tile_of = jnp.where(key_s == _INT32_MAX, num_tiles, key_s // shift)
-    newseg = jnp.concatenate(
-        [jnp.ones((1,), bool), tile_of[1:] != tile_of[:-1]])
-    if total < _BLOCKED_SCAN_MIN:
-        seg_start = jax.lax.associative_scan(
-            jnp.maximum, jnp.where(newseg, iota, 0))
-    else:
-        seg_start = _blocked_scan(
-            jnp.maximum, jnp.where(newseg, iota, 0))
-    slot = iota - seg_start
+    # Rank within tile WITHOUT an O(pairs) scan. The segment-start
+    # max-scan used through round 3 was the measured 1M-scale compile
+    # bomb (>13 min of XLA:TPU compile at 8M pairs, chipless bisect,
+    # round 4); since pairs are sorted by tile, the segment start is just
+    # the count of pairs in earlier tiles: one scatter-add into the TILE
+    # axis (num_tiles + 1 slots — dead pairs land in the sentinel row), a
+    # cumsum over tiles, and a gather back per pair.
+    tcounts = jnp.zeros((num_tiles + 1,), jnp.int32).at[tile_of].add(
+        1, mode="drop")
+    offs = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(tcounts)[:-1]])
+    slot = iota - offs[tile_of]
 
     pair_live = key_s != _INT32_MAX
     cands = jnp.full((num_tiles, max_candidates), -1, jnp.int32)

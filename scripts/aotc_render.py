@@ -68,6 +68,25 @@ def main():
     mode = sys.argv[6] if len(sys.argv) > 6 else "pallas"
 
     def fn(g):
+        if mode == "binning":
+            from rtgs_tpu.render.binning import tile_candidates
+
+            return tile_candidates(g, cam, tile=(16, 16),
+                                   max_candidates=mc, max_global=128)
+        if mode == "shade":
+            from rtgs_tpu.render.tiled import (composite_layers_kp,
+                                               shade_winners_kp,
+                                               _tile_pixel_features,
+                                               pack_features,
+                                               precompute_features)
+
+            packed = pack_features(precompute_features(g, cam))
+            pix = _tile_pixel_features(cam, (16, 16))
+            t = pix.shape[0]
+            nb = -(-t // bands) if bands > 1 else t
+            sid = jnp.zeros((nb, 16, pix.shape[1]), jnp.float32)
+            out = shade_winners_kp(packed, sid, pix[:nb])
+            return composite_layers_kp(*out)
         if mode == "pallas":
             return tiled.render_tiled_pallas(
                 g, cam, depth=16, tile=(16, 16), max_candidates=mc,

@@ -72,6 +72,10 @@ def main():
     ap.add_argument("--chain", type=int, default=0,
                     help="chain N full renders in-graph for steady-state "
                          "per-frame cost")
+    ap.add_argument("--fast", action="store_true",
+                    help="only the full fwd / fwd+bwd (and --chain) "
+                         "timings — skips per-stage compiles (each stage "
+                         "is a separate multi-minute remote compile)")
     ap.add_argument("--fused", action="store_true",
                     help="also time the round-3 fused-payload path")
     args = ap.parse_args()
@@ -104,39 +108,49 @@ def main():
           f"depth={args.depth} cand={args.cand}")
 
     # --- stages ---
-    binf = jax.jit(lambda g: tile_candidates(g, cam, **kw))
-    binning, t_bin = timeit("binning", binf, g,
-                            readout=lambda b: b.candidates)
-    cand = binning.candidates
-    pad_c = (-cand.shape[1]) % 128
-    if pad_c:
-        cand = jnp.pad(cand, ((0, 0), (0, pad_c)), constant_values=-1)
-    packed = jax.jit(lambda g: pack_features(precompute_features(g, cam)))(g)
-    pix = jax.jit(lambda: _tile_pixel_features(cam, (16, 16)))()
-    jax.block_until_ready((packed, pix))
+    if not args.fast:
+        binf = jax.jit(lambda g: tile_candidates(g, cam, **kw))
+        binning, t_bin = timeit("binning", binf, g,
+                                readout=lambda b: b.candidates)
+        cand = binning.candidates
+        pad_c = (-cand.shape[1]) % 128
+        if pad_c:
+            cand = jnp.pad(cand, ((0, 0), (0, pad_c)), constant_values=-1)
+        packed = jax.jit(
+            lambda g: pack_features(precompute_features(g, cam)))(g)
+        pix = jax.jit(lambda: _tile_pixel_features(cam, (16, 16)))()
+        jax.block_until_ready((packed, pix))
 
-    keysf = jax.jit(functools.partial(peel_keys_pallas, depth=args.depth))
-    keys, t_keys = timeit("keys kernel", keysf, packed, cand, pix,
-                          readout=lambda o: o[0])
+        keysf = jax.jit(
+            functools.partial(peel_keys_pallas, depth=args.depth))
+        keys, t_keys = timeit("keys kernel", keysf, packed, cand, pix,
+                              readout=lambda o: o[0])
 
-    from rtgs_tpu.render.tiled import (composite_layers,
-                                       composite_layers_kp,
-                                       shade_winners_kp)
+        from rtgs_tpu.render.tiled import (composite_layers,
+                                           composite_layers_kp,
+                                           shade_winners_kp)
 
-    def shade(packed, sid_k, pix):
-        a, r, gc, b = shade_winners(packed, sid_k, pix)
-        return composite_layers(a, r, gc, b)
+        def shade(packed, sid_k, pix):
+            a, r, gc, b = shade_winners(packed, sid_k, pix)
+            return composite_layers(a, r, gc, b)
 
-    shadef = jax.jit(shade)
-    _, t_shade = timeit("shade+composite pk", shadef, packed, keys[1], pix)
+        try:
+            # The pk layout's 8x K-padding OOMs beyond ~384p — comparison
+            # stage only; the production path is kp.
+            shadef = jax.jit(shade)
+            _, t_shade = timeit("shade+composite pk", shadef, packed,
+                                keys[1], pix)
+        except Exception as e:
+            print(f"shade pk failed: {type(e).__name__} "
+                  "(expected at >=720p)")
 
-    def shade_kp(packed, sid_k, pix):
-        a, r, gc, b = shade_winners_kp(packed, sid_k.transpose(0, 2, 1),
-                                       pix)
-        return composite_layers_kp(a, r, gc, b)
+        def shade_kp(packed, sid_k, pix):
+            a, r, gc, b = shade_winners_kp(
+                packed, sid_k.transpose(0, 2, 1), pix)
+            return composite_layers_kp(a, r, gc, b)
 
-    _, t_shade2 = timeit("shade+composite kp", jax.jit(shade_kp), packed,
-                         keys[1], pix)
+        _, t_shade2 = timeit("shade+composite kp", jax.jit(shade_kp),
+                             packed, keys[1], pix)
 
     fullf = jax.jit(lambda g: render_tiled_keys(
         g, cam, depth=args.depth, **kw, **bands))
