@@ -73,8 +73,6 @@ def _add_common_flags(p: argparse.ArgumentParser):
                    help="Per-tile candidate budget for the tiled/pallas "
                         "renderers (default 512; raise until the reported "
                         "overflow is 0 — e.g. 4096 for 1M splats at 1080p).")
-    p.add_argument("--pairs-budget", type=int, default=None,
-                   help="Binning pair-buffer budget (default 8N).")
     p.add_argument("--tile-bands", type=int, default=None,
                    help="Render the tile axis in N sequential bands "
                         "(bounds the candidate-feature gather memory; "
@@ -144,11 +142,9 @@ def _render(g, cam, args):
         kw = {}
         if getattr(args, "max_candidates", None):
             kw["max_candidates"] = args.max_candidates
-        for unsupported in ("pairs_budget", "tile_bands"):
-            if getattr(args, unsupported, None):
-                logging.getLogger(__name__).warning(
-                    "--%s is not supported on the --mesh path; ignored",
-                    unsupported.replace("_", "-"))
+        if getattr(args, "tile_bands", None):
+            logging.getLogger(__name__).warning(
+                "--tile-bands is not supported on the --mesh path; ignored")
         mesh = make_mesh(*args.mesh)
         return render_tiled_sharded(
             shard_scene(g, mesh), cam, mesh, depth=args.depth, **kw)
@@ -158,8 +154,6 @@ def _render(g, cam, args):
     kw = {}
     if getattr(args, "max_candidates", None):
         kw["max_candidates"] = args.max_candidates
-    if getattr(args, "pairs_budget", None):
-        kw["pairs_budget"] = args.pairs_budget
     if getattr(args, "tile_bands", None):
         kw["tile_bands"] = args.tile_bands
     if getattr(args, "sample", 1) > 1:

@@ -37,7 +37,7 @@ def render(g: G.Gaussians, camera: Camera, depth: int = 16,
         # meaning for brute force — drop them instead of raising so one CLI
         # flag set drives every path (ADVICE r3).
         kwargs = {k: v for k, v in kwargs.items()
-                  if k not in ("max_candidates", "max_global", "pairs_budget",
+                  if k not in ("max_candidates", "max_global",
                                "tile_bands", "max_tiles_local", "tile")}
         return render_oracle(g, camera, depth=depth, **kwargs)
     if renderer == "tiled":

@@ -40,41 +40,25 @@ from rtgs_tpu.utils import quaternion as quat
 _INT32_MAX = jnp.iinfo(jnp.int32).max
 
 
-_BLOCKED_SCAN_MIN = 1 << 22  # 4.2M — monolithic scans below this (XLA:TPU
-# compile time for a single scan explodes with length; round-3 measured a
-# 64M cumsum compiling >7 min vs 14 s for the two-level form. Round 4
-# lowered the threshold from 33.5M: every config re-measures this round,
-# so the old cache-parity constraint is gone, and the 1M configs must
-# never see a multi-million-element monolithic scan).
+def _tree_cumsum(x, block: int = 1024):
+    """Inclusive cumsum of a flat int array with COMPILE-CHEAP structure.
 
-
-def _blocked_scan(op, x, block: int = 8192):
-    """Inclusive scan of a flat array via a two-level decomposition.
-
-    XLA:TPU's compile time for a single monolithic scan explodes with
-    length — ``jnp.cumsum`` over the 64M-slot pair array at 1M splats
-    compiles for >7 minutes (measured chipless, round 3; a (7813, 8192)
-    two-level scan compiles in 14s), which made every 1M-scene program
-    un-compilable. Below the threshold the monolithic scan is kept — it is
-    what the measured 100k/250k bench numbers compiled with.
-
-    ``op`` must be associative with identity 0 w.r.t. the padding (holds
-    for add, and for max over the non-negative values used here)."""
+    XLA:TPU compile time for long-axis scans explodes with the scanned
+    length (round-4 chipless bisect: a 1M monolithic ``jnp.cumsum``
+    compiles in 30 s; the round-3 two-level ``associative_scan`` form is
+    far worse — >13 min at 8M). Short-axis cumsums are cheap regardless
+    of batch, so recurse: reshape to (m, block), cumsum each block along
+    the short axis, and recur on the m block totals. Compiles in ~1 s at
+    13M elements."""
     n = x.shape[0]
+    if n <= block:
+        return jnp.cumsum(x)
     m = -(-n // block)
-    pad = m * block - n
-    xp = jnp.pad(x, (0, pad))
-    rows = xp.reshape(m, block)
-    inner = jax.lax.associative_scan(op, rows, axis=1)
+    xp = jnp.pad(x, (0, m * block - n)).reshape(m, block)
+    inner = jnp.cumsum(xp, axis=1)
     totals = inner[:, -1]
-    offs = jax.lax.associative_scan(op, totals)
-    offs = jnp.concatenate([totals[:1] * 0, offs[:-1]])
-    out = op(inner, offs[:, None])
-    return out.reshape(-1)[:n]
-
-
-def _blocked_cumsum(x, block: int = 8192):
-    return _blocked_scan(jnp.add, x, block)
+    carry = _tree_cumsum(totals, block) - totals  # exclusive block offset
+    return (inner + carry[:, None]).reshape(-1)[:n]
 
 
 class TileBinning(NamedTuple):
@@ -109,7 +93,6 @@ def tile_candidates(
     max_candidates: int = 512,
     max_tiles_local=None,
     max_global: int = 128,
-    pairs_budget: int | None = None,
     pad_px: float = 0.0,
 ) -> TileBinning:
     """Build fixed-width per-tile candidate lists (all on-device, jittable).
@@ -119,13 +102,13 @@ def tile_candidates(
     ``max_tiles_local`` defaults to ~128 px of screen coverage per axis;
     splats projecting wider than that go to the global list (nearest-first).
 
-    ``pairs_budget`` bounds the compacted (tile, splat) pair buffer that
-    feeds the sort. The raw fan-out is N × mtx·mty slots but almost all are
-    dead (a typical splat covers 1-4 tiles), so live pairs are compacted by
-    prefix-sum + scatter first and only the budget is sorted — at 1M splats
-    this shrinks the sort from 64M keys to the budget (default 8N). Pairs
-    beyond the budget are dropped (highest splat indices first) and counted
-    in ``local_overflow``.
+    Compile-bomb discipline (round 4, chipless per-primitive bisect at 1M
+    splats): everything downstream of the fan-out is ONE ``lax.sort`` of
+    the (tile, depth)-keyed pair stream — global-list pairs ride the same
+    sort under a sentinel tile id — followed by scatter-add/gather
+    placement. No O(pairs) scans (each compiled for 30 s-13 min at these
+    sizes), no top_k over N (42 s), no 2-D scatter (22 s); the candidate
+    matrix is a *gather* from the sorted stream (0.3 s).
     """
     w, h = camera.buf_size
     tw, th = tile
@@ -216,13 +199,14 @@ def tile_candidates(
     val_n = jnp.broadcast_to(
         jnp.arange(n, dtype=jnp.int32)[:, None], key_n.shape)
 
+    ids = jnp.arange(n, dtype=jnp.int32)
     if mtx > narrow or mty > narrow:
         # Compact wide splats to a budget, then full-rectangle fan-out.
         wlimit = max(64, n // 16)
-        wpos = jnp.cumsum(is_wide.astype(jnp.int32)) - 1
+        wpos = _tree_cumsum(is_wide.astype(jnp.int32)) - 1
         wdst = jnp.where(is_wide & (wpos < wlimit), wpos, wlimit)
         widx = jnp.full((wlimit + 1,), n, jnp.int32).at[wdst].set(
-            jnp.arange(n, dtype=jnp.int32), mode="drop")[:wlimit]
+            ids, mode="drop")[:wlimit]
         wlive = widx < n
         wsafe = jnp.minimum(widx, n - 1)
         key_w = fan_out(wlive, tx0[wsafe], ty0[wsafe], wx[wsafe],
@@ -230,90 +214,54 @@ def tile_candidates(
         val_w = jnp.broadcast_to(wsafe[:, None], key_w.shape)
         # Budget spill → global list (kept conservative, not dropped).
         is_global = is_global | (is_wide & (wpos >= wlimit))
-        key_f = jnp.concatenate([key_n.reshape(-1), key_w.reshape(-1)])
-        val_f = jnp.concatenate([val_n.reshape(-1), val_w.reshape(-1)])
+        key_mid = [key_n.reshape(-1), key_w.reshape(-1)]
+        val_mid = [val_n.reshape(-1), val_w.reshape(-1)]
     else:
-        key_f, val_f = key_n.reshape(-1), val_n.reshape(-1)
+        key_mid, val_mid = [key_n.reshape(-1)], [val_n.reshape(-1)]
 
-    # --- Compact live pairs before sorting (prefix-sum stream compaction,
-    # the XLA idiom replacing the reference's atomic counters,
-    # scene.py:267-270). ---
-    if pairs_budget is None:
-        pairs_budget = min(8 * n, key_f.shape[0])
-    pairs_budget = min(pairs_budget, key_f.shape[0])
-    pair_live_f = key_f != _INT32_MAX
-    flat = pair_live_f.shape[0]
-    if flat < _BLOCKED_SCAN_MIN:
-        # The EXACT expression the measured bench configs compiled with —
-        # keeping it verbatim preserves compilation-cache hits (the driver
-        # re-runs the bench; a wedged remote compiler must not force a
-        # recompile of the proven configs).
-        pos = jnp.cumsum(pair_live_f.astype(jnp.int32)) - 1
+    # --- Global-list pairs ride the SAME sort under a sentinel tile id
+    # (num_tiles): depth-keyed like every other pair, so the global list
+    # comes out nearest-first with no separate top_k over N. ---
+    if num_tiles <= (1 << 15) - 1:
+        key_g = jnp.where(is_global, num_tiles * 65536 + dq, _INT32_MAX)
     else:
-        pos = _blocked_cumsum(pair_live_f.astype(jnp.int32)) - 1
-    budget_overflow = jnp.maximum(
-        jnp.sum(pair_live_f.astype(jnp.int32)) - pairs_budget, 0)
-    dst = jnp.where(pair_live_f, pos, pairs_budget)  # dead/over → dropped
-    key_c = jnp.full((pairs_budget,), _INT32_MAX, jnp.int32
-                     ).at[dst].set(key_f, mode="drop")
-    val_c = jnp.full((pairs_budget,), -1, jnp.int32
-                     ).at[dst].set(val_f, mode="drop")
-    key_s, val_s = jax.lax.sort((key_c, val_c), num_keys=1)
+        key_g = jnp.where(is_global, num_tiles, _INT32_MAX)
+    key_f = jnp.concatenate(key_mid + [key_g])
+    val_f = jnp.concatenate(val_mid + [ids])
+
+    # One sort of the raw pair stream (dead slots carry INT32_MAX and sink
+    # to the tail; with the two-class fan-out the stream is ~14 slots per
+    # splat, so sorting it directly beats compacting first — the
+    # compaction's own scans/scatters cost more compile time than the
+    # slightly larger sort).
+    key_s, val_s = jax.lax.sort((key_f, val_f), num_keys=1)
 
     total = key_s.shape[0]
-    iota = jnp.arange(total, dtype=jnp.int32)
-    tile_of = jnp.where(key_s == _INT32_MAX, num_tiles, key_s // shift)
-    # Rank within tile WITHOUT an O(pairs) scan. The segment-start
-    # max-scan used through round 3 was the measured 1M-scale compile
-    # bomb (>13 min of XLA:TPU compile at 8M pairs, chipless bisect,
-    # round 4); since pairs are sorted by tile, the segment start is just
-    # the count of pairs in earlier tiles: one scatter-add into the TILE
-    # axis (num_tiles + 1 slots — dead pairs land in the sentinel row), a
-    # cumsum over tiles, and a gather back per pair.
-    tcounts = jnp.zeros((num_tiles + 1,), jnp.int32).at[tile_of].add(
+    # Dead pairs → row num_tiles + 1 (num_tiles is the global list's row).
+    tile_of = jnp.where(key_s == _INT32_MAX, num_tiles + 1, key_s // shift)
+    tcounts = jnp.zeros((num_tiles + 2,), jnp.int32).at[tile_of].add(
         1, mode="drop")
     offs = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(tcounts)[:-1]])
-    slot = iota - offs[tile_of]
 
-    pair_live = key_s != _INT32_MAX
-    cands = jnp.full((num_tiles, max_candidates), -1, jnp.int32)
-    cands = cands.at[
-        jnp.where(pair_live, tile_of, num_tiles),
-        slot,
-    ].set(val_s, mode="drop")
-    local_overflow = (jnp.sum(pair_live & (slot >= max_candidates))
-                      + budget_overflow)
-
-    # --- Global list: nearest-first, appended to every tile directly after
-    # its local candidates so valid indices form a contiguous prefix (the
-    # Pallas kernel's chunk skipping keys off the per-tile count). ---
-    gscore = jnp.where(is_global, -depth, -jnp.inf)
-    k_glob = min(max_global, n)  # shards can be smaller than the budget
-    gvals, gidx = jax.lax.top_k(gscore, k_glob)
-    if k_glob < max_global:
-        gvals = jnp.pad(gvals, (0, max_global - k_glob),
-                        constant_values=-jnp.inf)
-        gidx = jnp.pad(gidx, (0, max_global - k_glob))
-    glob = jnp.where(gvals > -jnp.inf, gidx.astype(jnp.int32), -1)
-    n_glob = jnp.sum(glob >= 0).astype(jnp.int32)
-    global_overflow = jnp.maximum(
-        jnp.sum(is_global) - max_global, 0)
-
+    # Candidate matrix as a GATHER from the sorted stream: tile t's pairs
+    # occupy [offs[t], offs[t] + tcounts[t]); the global row's pairs are
+    # appended directly after each tile's locals so valid indices form a
+    # contiguous prefix (the kernel's chunk skipping keys off the count).
+    cl = jnp.minimum(tcounts[:num_tiles], max_candidates)      # (T,)
+    n_glob = jnp.minimum(tcounts[num_tiles], max_global)
     total_c = max_candidates + max_global
-    count_local = jnp.sum(cands >= 0, axis=1).astype(jnp.int32)  # (T,)
-    candidates = jnp.concatenate(
-        [cands, jnp.full((num_tiles, max_global), -1, jnp.int32)], axis=1)
-    if max_global > 0:
-        gcol = count_local[:, None] + jnp.arange(max_global,
-                                                 dtype=jnp.int32)[None, :]
-        gcol = jnp.where(glob[None, :] >= 0, gcol, total_c)  # drop invalid
-        grow = jnp.broadcast_to(
-            jnp.arange(num_tiles, dtype=jnp.int32)[:, None],
-            (num_tiles, max_global))
-        candidates = candidates.at[grow, gcol].set(
-            jnp.broadcast_to(glob[None, :], (num_tiles, max_global)),
-            mode="drop")
-    counts = count_local + n_glob
+    j = jnp.arange(total_c, dtype=jnp.int32)[None, :]          # (1, C+G)
+    local_idx = jnp.clip(offs[:num_tiles, None] + j, 0, total - 1)
+    gj = j - cl[:, None]
+    glob_idx = jnp.clip(offs[num_tiles] + gj, 0, total - 1)
+    local_ok = j < cl[:, None]
+    glob_ok = (gj >= 0) & (gj < n_glob)
+    idx = jnp.where(local_ok, local_idx, glob_idx)     # one gather
+    candidates = jnp.where(local_ok | glob_ok, val_s[idx], -1)
+    local_overflow = jnp.sum(
+        jnp.maximum(tcounts[:num_tiles] - max_candidates, 0))
+    global_overflow = jnp.maximum(tcounts[num_tiles] - max_global, 0)
+    counts = cl + n_glob
     return TileBinning(candidates, ntx, nty, local_overflow, global_overflow,
                        counts)

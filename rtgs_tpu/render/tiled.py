@@ -220,7 +220,7 @@ def _tile_pixel_features(camera: Camera, tile, pixel_offset=None):
 
 @partial(jax.jit, static_argnames=("depth", "tile", "max_candidates",
                                    "max_global", "max_tiles_local",
-                                   "pairs_budget", "with_stats",
+                                   "with_stats",
                                    "tile_bands"))
 def render_tiled_pallas(
     g: G.Gaussians,
@@ -230,7 +230,6 @@ def render_tiled_pallas(
     max_candidates: int = 512,
     max_global: int = 64,
     max_tiles_local=None,
-    pairs_budget: int | None = None,
     with_stats: bool = False,
     tile_bands: int | None = None,
     pixel_offset=None,
@@ -262,7 +261,6 @@ def render_tiled_pallas(
     binning = tile_candidates(
         g, camera, tile=tile, max_candidates=max_candidates,
         max_global=max_global, max_tiles_local=max_tiles_local,
-        pairs_budget=pairs_budget,
         pad_px=0.0 if pixel_offset is None else 0.5)
     cand = binning.candidates
     c2 = cand.shape[1]
@@ -513,7 +511,7 @@ def composite_layers(alpha, r, g, b):
 
 @partial(jax.jit, static_argnames=("depth", "tile", "max_candidates",
                                    "max_global", "max_tiles_local",
-                                   "pairs_budget", "with_stats",
+                                   "with_stats",
                                    "tile_bands", "keys_impl",
                                    "shade_layout"))
 def render_tiled_keys(
@@ -524,7 +522,6 @@ def render_tiled_keys(
     max_candidates: int = 512,
     max_global: int = 64,
     max_tiles_local=None,
-    pairs_budget: int | None = None,
     with_stats: bool = False,
     tile_bands: int | None = None,
     pixel_offset=None,
@@ -550,7 +547,6 @@ def render_tiled_keys(
     binning = tile_candidates(
         g, camera, tile=tile, max_candidates=max_candidates,
         max_global=max_global, max_tiles_local=max_tiles_local,
-        pairs_budget=pairs_budget,
         pad_px=0.0 if pixel_offset is None else 0.5)
     cand = binning.candidates
     pad_c = (-cand.shape[1]) % 128
@@ -600,7 +596,7 @@ def render_tiled_keys(
 
 @partial(jax.jit, static_argnames=("depth", "tile", "max_candidates",
                                    "max_global", "tile_chunk",
-                                   "max_tiles_local", "pairs_budget"))
+                                   "max_tiles_local"))
 def render_tiled(
     g: G.Gaussians,
     camera: Camera,
@@ -610,7 +606,6 @@ def render_tiled(
     max_global: int = 64,
     tile_chunk: int | None = None,
     max_tiles_local=None,
-    pairs_budget: int | None = None,
     pixel_offset=None,
 ):
     """Full-frame tiled render. Returns (W, H, 3) radiance.
@@ -628,7 +623,6 @@ def render_tiled(
     binning = tile_candidates(
         g, camera, tile=tile, max_candidates=max_candidates,
         max_global=max_global, max_tiles_local=max_tiles_local,
-        pairs_budget=pairs_budget,
         pad_px=0.0 if pixel_offset is None else 0.5)
     feats = precompute_features(g, camera)
 

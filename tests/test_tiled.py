@@ -128,19 +128,23 @@ def test_overflow_counters(key):
     assert int(binning.local_overflow) > 0 or int(binning.global_overflow) > 0
 
 
-def test_binning_pairs_budget(key):
-    """Compacted pair buffer: a generous budget reproduces the unbudgeted
-    lists exactly; a tiny budget drops pairs and counts them."""
+def test_binning_counts_consistent(key):
+    """The per-tile counts must equal the number of valid (non -1)
+    candidate slots, and valid slots must form a contiguous prefix (the
+    kernel's chunk skipping keys off the count). Round 4 rebuilt the
+    placement as a gather from the sorted pair stream (the compacted
+    pair buffer and its budget are gone — one sort, no O(pairs) scans)."""
     g = random_scene(key, 500, extent=1.2)
     cam = _orbit_cam((64, 64))
-    kw = dict(tile=(16, 16), max_candidates=256, max_global=32)
-    full = tile_candidates(g, cam, pairs_budget=500 * 64, **kw)
-    deft = tile_candidates(g, cam, **kw)
-    assert bool(jnp.all(full.candidates == deft.candidates))
-    assert int(deft.local_overflow) == int(full.local_overflow)
-
-    tiny = tile_candidates(g, cam, pairs_budget=64, **kw)
-    assert int(tiny.local_overflow) > 0
+    binning = tile_candidates(g, cam, tile=(16, 16), max_candidates=256,
+                              max_global=32)
+    cands = np.asarray(binning.candidates)
+    counts = np.asarray(binning.counts)
+    valid = cands >= 0
+    assert (valid.sum(axis=1) == counts).all()
+    # Contiguous prefix: no valid slot after the first -1.
+    for t in range(cands.shape[0]):
+        assert not valid[t, counts[t]:].any(), t
 
 
 def test_bitwise_determinism(key):
