@@ -369,24 +369,31 @@ def shade_winners(packed: jnp.ndarray, sid_k: jnp.ndarray,
 
 def _shade_kp_impl(packed, sid_kp, pix):
     t, k, p = sid_kp.shape
+    f = packed.shape[1]
     n_sentinel = packed.shape[0] - 1
     safe = jnp.where(jnp.isfinite(sid_kp), sid_kp,
                      jnp.float32(n_sentinel)).astype(jnp.int32)
 
-    rows = packed[safe.reshape(t, k * p)].reshape(t, k, p, packed.shape[1])
+    # Gather rows, then ONE transpose to (T, F, K, P) so every lane slice
+    # below cuts a MIDDLE axis: slicing the minor axis of a (…, 64) array
+    # materializes (…, 1) buffers that pad to 128 lanes — a 128x blowup
+    # XLA actually produced inside the banded-1M while loop (2 GB per
+    # temp, OOM). Middle-axis slices are (T, K, P) and always unpadded.
+    rows = packed[safe.reshape(t, k * p)]              # (T, K·P, F)
+    rows = rows.transpose(0, 2, 1).reshape(t, f, k, p)  # (T, F, K, P)
 
     # One small transpose (T, P, 24) → (T, 24, P); the contractions over
     # 6/3/15 feature lanes unroll as fused multiply-adds of (T, K, P)
-    # slices — no 4-D transposes, no padded temporaries.
+    # slices — no padded temporaries.
     pixT = pix.transpose(0, 2, 1)                      # (T, 24, P)
 
     def pf(j):
         return pixT[:, None, j, :]                     # (T, 1, P)
 
-    a = sum(pf(3 + j) * rows[..., j] for j in range(6))
-    b = 2.0 * sum(pf(j) * rows[..., 6 + j] for j in range(3))
-    c0 = rows[..., 9]                                  # (T, K, P)
-    op = rows[..., 10]
+    a = sum(pf(3 + j) * rows[:, j] for j in range(6))
+    b = 2.0 * sum(pf(j) * rows[:, 6 + j] for j in range(3))
+    c0 = rows[:, 9]                                    # (T, K, P)
+    op = rows[:, 10]
     cq = jnp.minimum(c0, 1e30)
     delta = b * b - 4.0 * a * cq
     sq = jnp.sqrt(jnp.where(delta > 0, delta, 0.0))
@@ -395,8 +402,8 @@ def _shade_kp_impl(packed, sid_kp, pix):
     rho = jnp.exp(jnp.where(delta > 0.0,
                             b * b / (4.0 * a) - (cq + 3.0), -jnp.inf))
     alpha = jnp.where(valid, op * rho, 0.0)
-    chans = [rows[..., 11 + ch]
-             + sum(pf(9 + j) * rows[..., 14 + 15 * ch + j]
+    chans = [rows[:, 11 + ch]
+             + sum(pf(9 + j) * rows[:, 14 + 15 * ch + j]
                    for j in range(15))
              for ch in range(3)]
     # NB: ``rows`` is deliberately NOT part of the residuals — the
@@ -474,8 +481,12 @@ def _shade_kp_bwd(residuals, cots):
     zero = jnp.zeros_like(d_alpha)
     while len(lanes) < f:
         lanes.append(zero)
+    # Stack along a MIDDLE axis (unpadded pieces — see the forward's
+    # layout note), then transpose once into row-major for the
+    # scatter-add.
     d_rows = jnp.stack([jnp.broadcast_to(x, (t, k, p)) for x in lanes],
-                       axis=-1)              # (T, K, P, 64)
+                       axis=1)               # (T, F, K, P)
+    d_rows = d_rows.reshape(t, f, k * p).transpose(0, 2, 1)
     d_packed = jnp.zeros_like(packed).at[
         safe.reshape(-1)].add(d_rows.reshape(-1, f))
     return d_packed, None, None
