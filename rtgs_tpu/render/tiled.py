@@ -406,13 +406,12 @@ def _shade_kp_impl(packed, sid_kp, pix):
              + sum(pf(9 + j) * rows[:, 14 + 15 * ch + j]
                    for j in range(15))
              for ch in range(3)]
-    # NB: ``rows`` is deliberately NOT part of the residuals — the
-    # backward never reads it (every cotangent is a pixel-feature ×
-    # chain-factor product), and at 1M@1080p it is the one 64-lane-wide
-    # buffer that would not fit saved per band.
-    return (alpha, chans[0], chans[1], chans[2]), (safe, pixT, a, b,
-                                                   cq, delta, valid, rho,
-                                                   op)
+    # NB: residuals are ONLY (safe, pixT) — the backward re-gathers the
+    # rows and recomputes the quadratic chain. Saving the seven (T, K, P)
+    # intermediates per band costs 3.7 GB at 1M@1080p (lax.map keeps every
+    # band's residuals live), which pushed the grad program past HBM;
+    # recomputation is one extra gather + elementwise per band.
+    return (alpha, chans[0], chans[1], chans[2]), (safe, pixT)
 
 
 @jax.custom_vjp
@@ -447,13 +446,66 @@ def _shade_kp_fwd(packed, sid_kp, pix):
     return out, (packed, res)
 
 
+def _shade_lane_maps(f: int):
+    """Constant lane maps for the matmul-form backward.
+
+    Every feature-row cotangent lane factors as
+    ``d_rows[l] = (Σ_c CS[c, l]·chain_c) ⊙ (Σ_q PL[q, l]·pixx_q)`` with a
+    chain factor c(l) ∈ {d_a, d_b, d_c0, d_op, d_r, d_g, d_b} and a pixel
+    feature q(l) ∈ {fd, d, y, 1} — so the whole (·, 64) cotangent is two
+    THIN matmuls against these constants plus one elementwise product, in
+    fully dense unpadded (64, T·K·P) layouts. (The earlier stacked-lanes
+    construction materialized (T, 1, K·P) pieces that XLA padded 128x
+    inside the banded loop — 62 GB at 1M@1080p.)"""
+    import numpy as np
+
+    cs = np.zeros((8, f), np.float32)   # chain-factor selector
+    pl = np.zeros((25, f), np.float32)  # pixel-feature selector (24 + ones)
+    ONES = 24
+    for j in range(6):                  # 0:6  m6 ← a
+        cs[0, j] = 1.0
+        pl[3 + j, j] = 1.0
+    for j in range(3):                  # 6:9  me ← b
+        cs[1, 6 + j] = 2.0
+        pl[j, 6 + j] = 1.0
+    cs[2, 9] = 1.0                      # c0
+    pl[ONES, 9] = 1.0
+    cs[3, 10] = 1.0                     # opacity
+    pl[ONES, 10] = 1.0
+    for ch in range(3):
+        cs[4 + ch, 11 + ch] = 1.0       # base color
+        pl[ONES, 11 + ch] = 1.0
+        for j in range(15):             # SH
+            lane = 14 + 15 * ch + j
+            cs[4 + ch, lane] = 1.0
+            pl[9 + j, lane] = 1.0
+    return jnp.asarray(cs), jnp.asarray(pl)
+
+
 def _shade_kp_bwd(residuals, cots):
-    packed, (safe, pixT, a, b, cq, delta, valid, rho, op) = residuals
+    packed, (safe, pixT) = residuals
     d_alpha, d_r, d_g, d_b_ch = cots
-    d_chans = (d_r, d_g, d_b_ch)
+    t, k, p = safe.shape
+    f = packed.shape[1]
+
+    # Recompute the quadratic chain (see the forward; SH/color need no
+    # recomputation — their cotangents are value-independent).
+    rows = packed[safe.reshape(t, k * p)]
+    rows = rows.transpose(0, 2, 1).reshape(t, f, k, p)
 
     def pf(j):
         return pixT[:, None, j, :]
+
+    a = sum(pf(3 + j) * rows[:, j] for j in range(6))
+    b = 2.0 * sum(pf(j) * rows[:, 6 + j] for j in range(3))
+    cq = jnp.minimum(rows[:, 9], 1e30)
+    op = rows[:, 10]
+    delta = b * b - 4.0 * a * cq
+    sq = jnp.sqrt(jnp.where(delta > 0, delta, 0.0))
+    t1 = (-b - sq) / (2.0 * a)
+    valid = (delta > 0.0) & (t1 > 0.0)
+    rho = jnp.exp(jnp.where(delta > 0.0,
+                            b * b / (4.0 * a) - (cq + 3.0), -jnp.inf))
 
     validf = valid.astype(jnp.float32)
     pos = (delta > 0.0).astype(jnp.float32)
@@ -464,31 +516,26 @@ def _shade_kp_bwd(residuals, cots):
     d_a = -(b * b) / (4.0 * a * a) * d_q
     d_c0 = jnp.where(cq < 1e30, -d_q, 0.0)
 
-    lanes = []
-    for j in range(6):                       # 0:6   m6 ← a
-        lanes.append(pf(3 + j) * d_a)
-    for j in range(3):                       # 6:9   me ← b
-        lanes.append(2.0 * pf(j) * d_b)
-    lanes.append(d_c0)                       # 9
-    lanes.append(d_op)                       # 10
-    for ch in range(3):                      # 11:14 base color
-        lanes.append(d_chans[ch])
-    for ch in range(3):                      # 14:59 SH
-        for j in range(15):
-            lanes.append(pf(9 + j) * d_chans[ch])
-    t, k, p = safe.shape
-    f = packed.shape[1]
-    zero = jnp.zeros_like(d_alpha)
-    while len(lanes) < f:
-        lanes.append(zero)
-    # Stack along a MIDDLE axis (unpadded pieces — see the forward's
-    # layout note), then transpose once into row-major for the
-    # scatter-add.
-    d_rows = jnp.stack([jnp.broadcast_to(x, (t, k, p)) for x in lanes],
-                       axis=1)               # (T, F, K, P)
-    d_rows = d_rows.reshape(t, f, k * p).transpose(0, 2, 1)
+    m = t * k * p
+    cs, pl = _shade_lane_maps(f)
+    hp = jax.lax.Precision.HIGHEST
+    # chain (8, M) — rows are flattened (T, K, P) arrays, minor dim M.
+    chain = jnp.concatenate(
+        [x.reshape(1, m) for x in
+         (d_a, d_b, d_c0, d_op, d_r, d_g, d_b_ch,
+          jnp.zeros_like(d_a))], axis=0)
+    af = jnp.matmul(cs.T, chain, precision=hp)          # (F, M)
+    # pixx (25, T·P): pixel features + a ones row; broadcast over K after
+    # the matmul (B0 depends only on the pixel).
+    pixx = jnp.concatenate(
+        [pixT.transpose(1, 0, 2).reshape(24, t * p),
+         jnp.ones((1, t * p), jnp.float32)], axis=0)
+    b0 = jnp.matmul(pl.T, pixx, precision=hp)           # (F, T·P)
+    d_rows = (af.reshape(f, t, k, p)
+              * b0.reshape(f, t, 1, p))                 # (F, T, K, P)
+    d_rows = d_rows.reshape(f, m).T                     # (M, F)
     d_packed = jnp.zeros_like(packed).at[
-        safe.reshape(-1)].add(d_rows.reshape(-1, f))
+        safe.reshape(-1)].add(d_rows)
     return d_packed, None, None
 
 
@@ -583,8 +630,13 @@ def render_tiled_keys(
         pad_t = tile_bands * nb - t
         cand_b = jnp.pad(cand, ((0, pad_t), (0, 0)), constant_values=-1)
         pix_b = jnp.pad(pix, ((0, pad_t), (0, 0), (0, 0)))
+        # Remat each band: lax.map otherwise keeps every band's shade
+        # residuals live simultaneously (alpha/rgb alone are 2.1 GB at
+        # 1M@1080p), pushing the grad program past HBM. Recomputing a
+        # band's forward during its backward trades ~1 extra kernel+shade
+        # pass for a full-frame residual footprint of just (bands, P, 3).
         rad = jax.lax.map(
-            lambda args: band(*args),
+            jax.checkpoint(lambda args: band(*args)),
             (cand_b.reshape(tile_bands, nb, cand.shape[1]),
              pix_b.reshape(tile_bands, nb, *pix.shape[1:])))
         rad = rad.reshape(tile_bands * nb, pix.shape[1], 3)[:t]
