@@ -53,10 +53,12 @@ CONFIGS = [
     dict(n=250_000, res=(1280, 720), depth=16, label="250k@720p",
          render_kw=dict(max_candidates=1536)),
     dict(n=1_000_000, res=(1920, 1088), depth=16, label="1M@1080p",
-         # 8 tile bands bound the (tiles, C, 64) gather to 1.1 GB — the
-         # monolithic 8.8 GB version never finished compile/warm on the
-         # tunneled chip (round-3 1M children hit their 25-40 min caps).
-         render_kw=dict(max_candidates=4096, tile_bands=8)),
+         # 8 tile bands bound the per-band gather/shade buffers; the
+         # monolithic version never compiled (round 3). 3584 ≥ the
+         # measured max per-tile count of 3464 (ovf_probe) — zero drops
+         # with ~500 MB less HBM than 4096 (the 8-band grad program
+         # compiles at ~15.7 GB of 15.75; headroom matters).
+         render_kw=dict(max_candidates=3584, tile_bands=8)),
 ]
 RENDER_KW = dict(tile=(16, 16), max_candidates=512, max_global=128)
 # Per-config subprocess wall cap. Cold remote compiles take minutes; warm
