@@ -419,9 +419,12 @@ class Solver:
 
     def train(self, num_steps: Optional[int] = None, log_every: int = 50):
         """Run the loop (reference stub ``solver.py:40-42`` realized)."""
+        from rtgs_tpu.parallel.launcher import touch_heartbeat
+
         num_steps = num_steps or self.cfg.iterations
         for _ in range(num_steps):
             metrics = self.train_step()
+            touch_heartbeat()  # no-op unless under the fail-fast launcher
             if self.step % log_every == 0:
                 logger.info(
                     "step %d: loss=%.5f psnr=%.2f live=%d",
