@@ -48,9 +48,15 @@ BASELINE_RAYS_PER_S = 0.49e6  # reference, full 16-deep rays/s (BASELINE.md)
 # 1536 drops 0. 1M@1080p: max 3464 → 4096 drops 0 (8×8 tiles make it
 # worse — smaller tiles raise per-splat fan-out).
 CONFIGS = [
+    # narrow=3: both sub-1M configs have zero wide-class spill at 3x3
+    # (measured; the overflow counters in the SAME program verify it
+    # every run) and the 9-slot fan-out is ~8% faster than the 1M-safe
+    # 4x4 default.
     dict(n=100_000, res=(640, 384), depth=16, label="100k@384p",
+         env=dict(RTGS_BIN_NARROW="3"),
          render_kw=dict(max_candidates=1536)),
     dict(n=250_000, res=(1280, 720), depth=16, label="250k@720p",
+         env=dict(RTGS_BIN_NARROW="3"),
          render_kw=dict(max_candidates=1536)),
     dict(n=1_000_000, res=(1920, 1088), depth=16, label="1M@1080p",
          # 8 tile bands bound the per-band gather/shade buffers; the
@@ -139,6 +145,7 @@ def _child(idx: int) -> None:
     from rtgs_tpu.viewer.orbit import orbit_camera_pose
 
     cfg = CONFIGS[idx]
+    os.environ.update(cfg.get("env", {}))  # before any tracing
     render_kw = dict(RENDER_KW, **cfg.get("render_kw", {}))
     _log(f"child {cfg['label']}: building scene")
     key = jax.random.PRNGKey(0)

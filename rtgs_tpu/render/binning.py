@@ -170,13 +170,17 @@ def tile_candidates(
     # the rare wide ones are compacted to a fixed budget first and fan
     # out to (mtx, mty); wide splats beyond the budget spill to the
     # GLOBAL list (conservative — appended to every tile), never dropped.
-    # narrow = 4: at the 1M@1080p bench pose 98.9% of splats fit 4×4
-    # tiles but only 90.3% fit 3×3 — with narrow = 3 the wide class
-    # (96.8k splats) overflowed its n/16 budget and spilled 34k splats
-    # to the global list (0.55% of candidates dropped in BENCH r4's
-    # first 1M run). At 4×4 the wide class is 11k splats (5.7× budget
-    # headroom) at the cost of 16 instead of 9 fan-out slots per splat.
-    narrow = min(4, mtx, mty)
+    # Narrow-class width (env RTGS_BIN_NARROW, default 4): at the
+    # 1M@1080p bench pose 98.9% of splats fit 4×4 tiles but only 90.3%
+    # fit 3×3 — with narrow = 3 the wide class (96.8k splats) overflowed
+    # its n/16 budget and spilled 34k splats to the global list (0.55%
+    # of candidates dropped in BENCH r4's first 1M run). At 4×4 the wide
+    # class is 11k splats (5.7× headroom) at the cost of 16 instead of 9
+    # fan-out slots per splat (~8% of frame time at 100k@384p — configs
+    # whose overflow counters read zero at narrow = 3 can set the env).
+    import os as _os
+
+    narrow = min(int(_os.environ.get("RTGS_BIN_NARROW", "4")), mtx, mty)
     is_wide = is_local & ((wx > narrow) | (wy > narrow))
     is_narrow = is_local & ~is_wide
 
