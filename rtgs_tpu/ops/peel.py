@@ -90,7 +90,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 F_DIM = 64
 G_DIM = 24
-CHUNK = 128
+# Candidate-chunk width of the internal sweep (env-tunable for A/B: the
+# merge's K extraction passes are serial-latency-bound, so wider chunks
+# amortize them over more candidates at the same total reduce work).
+# Measured round 4 at 100k@384p: 256 is NEUTRAL (146 vs 142 ms fwd+bwd)
+# — the extraction latency is not the binding constraint; 128 stays.
+CHUNK = int(os.environ.get("RTGS_CHUNK", "128"))
 
 
 def _interpret() -> bool:

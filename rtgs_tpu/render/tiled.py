@@ -264,7 +264,9 @@ def render_tiled_pallas(
         pad_px=0.0 if pixel_offset is None else 0.5)
     cand = binning.candidates
     c2 = cand.shape[1]
-    pad_c = (-c2) % 128  # kernel wants the candidate axis lane-aligned
+    from rtgs_tpu.ops.peel import CHUNK as _CHUNK
+
+    pad_c = (-c2) % _CHUNK  # kernel wants chunk-aligned candidates
     if pad_c:
         cand = jnp.pad(cand, ((0, 0), (0, pad_c)), constant_values=-1)
 
@@ -607,7 +609,9 @@ def render_tiled_keys(
         max_global=max_global, max_tiles_local=max_tiles_local,
         pad_px=0.0 if pixel_offset is None else 0.5)
     cand = binning.candidates
-    pad_c = (-cand.shape[1]) % 128
+    from rtgs_tpu.ops.peel import CHUNK as _CHUNK
+
+    pad_c = (-cand.shape[1]) % _CHUNK
     if pad_c:
         cand = jnp.pad(cand, ((0, 0), (0, pad_c)), constant_values=-1)
 
