@@ -145,6 +145,12 @@ def _render(g, cam, args):
         if getattr(args, "tile_bands", None):
             logging.getLogger(__name__).warning(
                 "--tile-bands is not supported on the --mesh path; ignored")
+        # Same silent-flag class (ADVICE r4): the mesh path has no
+        # progressive-sampling dispatch.
+        if getattr(args, "sample", 1) > 1 or getattr(args, "jitter", False):
+            logging.getLogger(__name__).warning(
+                "-s/--sample > 1 and --jitter are not supported on the "
+                "--mesh path; rendering 1 centered sample")
         mesh = make_mesh(*args.mesh)
         return render_tiled_sharded(
             shard_scene(g, mesh), cam, mesh, depth=args.depth, **kw)

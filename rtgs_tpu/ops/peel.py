@@ -610,26 +610,15 @@ def _layer_cotangents(depth, grad_out, alpha_k, r_k, g_k, b_k):
             jnp.concatenate(gwg, -1), jnp.concatenate(gwb, -1))
 
 
-def _bwd_kernel(depth, bmax_ref, feats_ref, pix_ref, grad_out_ref,
-                dfeats_ref):
-    # grad_out rows: 0..2 = radiance cotangent, 3 = transmittance cotangent.
-    i = pl.program_id(0)
-    pix = pix_ref[...]                      # (B, P, G)
-    bt, p = pix.shape[0], pix.shape[1]
-    nc = pl.cdiv(bmax_ref[i], CHUNK)
-
-    # ---- Sweep 1+1.5: rebuild the top-K keys, then extract payloads
-    # (same two-phase structure as the forward — see _peel_state). ----
-    st = _peel_state(depth, nc, pix, feats_ref)
-
-    alpha_k = _alpha_of(st[0], st[2])
-    ga_k, gwr_k, gwg_k, gwb_k = _layer_cotangents(
-        depth, grad_out_ref[...], alpha_k, st[3], st[4], st[5])
-    # Vacant layers carry slot +inf from the merge; mark them -1 so no
-    # lane claims their (zero) cotangent in sweep 2.
-    slot_k = jnp.where(jnp.isfinite(st[0]), st[1], -1.0)
-
-    # ---- Sweep 2: chain cotangents into per-candidate feature grads. ----
+def _sweep2_feature_grads(depth, nc, pix, feats_ref, slot_k,
+                          ga_k, gwr_k, gwg_k, gwb_k, dfeats_ref):
+    """Shared sweep 2 of both backward kernels: re-intersect each chunk,
+    claim each winning layer's cotangent onto its owning lane (``slot_k``
+    is -1 for vacant layers, matching no lane), chain through
+    α = op·exp(B²/4A − (c0+3)) and rgb = color + y·sh, and contract over
+    pixels into the chunk's (CHUNK, F) feature-gradient slice. A chunk is
+    skipped entirely (its output slice stays zero) unless one of the K
+    winning slots lives in it."""
     dfeats_ref[...] = jnp.zeros_like(dfeats_ref)
 
     def sweep2(c, carry):
@@ -705,6 +694,28 @@ def _bwd_kernel(depth, bmax_ref, feats_ref, pix_ref, grad_out_ref,
     jax.lax.fori_loop(0, nc, sweep2, 0)
 
 
+def _bwd_kernel(depth, bmax_ref, feats_ref, pix_ref, grad_out_ref,
+                dfeats_ref):
+    # grad_out rows: 0..2 = radiance cotangent, 3 = transmittance cotangent.
+    i = pl.program_id(0)
+    pix = pix_ref[...]                      # (B, P, G)
+    nc = pl.cdiv(bmax_ref[i], CHUNK)
+
+    # ---- Sweep 1+1.5: rebuild the top-K keys, then extract payloads
+    # (same two-phase structure as the forward — see _peel_state). ----
+    st = _peel_state(depth, nc, pix, feats_ref)
+
+    alpha_k = _alpha_of(st[0], st[2])
+    ga_k, gwr_k, gwg_k, gwb_k = _layer_cotangents(
+        depth, grad_out_ref[...], alpha_k, st[3], st[4], st[5])
+    # Vacant layers carry slot +inf from the merge; mark them -1 so no
+    # lane claims their (zero) cotangent in sweep 2.
+    slot_k = jnp.where(jnp.isfinite(st[0]), st[1], -1.0)
+
+    _sweep2_feature_grads(depth, nc, pix, feats_ref, slot_k,
+                          ga_k, gwr_k, gwg_k, gwb_k, dfeats_ref)
+
+
 def _fwd_topk_kernel(depth, bmax_ref, feats_ref, pix_ref, out_ref):
     """Forward that emits the top-K layer state instead of compositing.
 
@@ -736,7 +747,6 @@ def _bwd_topk_kernel(depth, bmax_ref, feats_ref, pix_ref, grad_layers_ref,
     suffix-recurrence stage."""
     i = pl.program_id(0)
     pix = pix_ref[...]
-    bt, p = pix.shape[0], pix.shape[1]
     nc = pl.cdiv(bmax_ref[i], CHUNK)
 
     st = _peel_state(depth, nc, pix, feats_ref)
@@ -748,72 +758,8 @@ def _bwd_topk_kernel(depth, bmax_ref, feats_ref, pix_ref, grad_layers_ref,
     gwb_k = gl[..., 3 * depth:4 * depth]
     slot_k = jnp.where(jnp.isfinite(st[0]), st[1], -1.0)
 
-    dfeats_ref[...] = jnp.zeros_like(dfeats_ref)
-
-    def sweep2(c, carry):
-        lo = (c * CHUNK).astype(jnp.float32)
-        hi = lo + CHUNK
-        has = jnp.any((slot_k >= lo) & (slot_k < hi))
-
-        @pl.when(has)
-        def _compute():
-            off = pl.multiple_of(c * CHUNK, CHUNK)
-            feats = feats_ref[:, pl.ds(off, CHUNK), :]
-            t1, a_quad, b_quad, cq, delta = _intersect_t1(feats, pix)
-            alpha, r, g, bl, rho = _shade(
-                feats, pix, t1, a_quad, b_quad, cq, delta)
-            gslot = (_lane(t1.shape) + c * CHUNK).astype(jnp.float32)
-
-            zc = jnp.zeros_like(t1)
-            gA, gR, gG, gB = zc, zc, zc, zc
-            for k in range(depth):
-                sk = slot_k[..., k:k + 1]
-                onehot = gslot == sk
-                gA = gA + jnp.where(onehot, ga_k[..., k:k + 1], 0.0)
-                gR = gR + jnp.where(onehot, gwr_k[..., k:k + 1], 0.0)
-                gG = gG + jnp.where(onehot, gwg_k[..., k:k + 1], 0.0)
-                gB = gB + jnp.where(onehot, gwb_k[..., k:k + 1], 0.0)
-
-            d = pix[..., 0:3]
-            fd = pix[..., 3:9]
-            y = pix[..., 9:24]
-            dA = gA * alpha * (-(b_quad * b_quad)
-                               / (4.0 * a_quad * a_quad))
-            dB = gA * alpha * (b_quad / (2.0 * a_quad))
-            dC0 = -gA * alpha
-            dOp = gA * rho * jnp.isfinite(t1).astype(jnp.float32)
-
-            ct = (((1,), (1,)), ((0,), (0,)))
-            dm6 = jax.lax.dot_general(dA, fd, ct,
-                                      preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-            dme = 2.0 * jax.lax.dot_general(
-                dB, d, ct, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-            dsh_r = jax.lax.dot_general(gR, y, ct,
-                                        preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-            dsh_g = jax.lax.dot_general(gG, y, ct,
-                                        preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-            dsh_b = jax.lax.dot_general(gB, y, ct,
-                                        preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-            dblock = jnp.concatenate([
-                dm6, dme,
-                jnp.sum(dC0, axis=1)[..., None],
-                jnp.sum(dOp, axis=1)[..., None],
-                jnp.sum(gR, axis=1)[..., None],
-                jnp.sum(gG, axis=1)[..., None],
-                jnp.sum(gB, axis=1)[..., None],
-                dsh_r, dsh_g, dsh_b,
-                jnp.zeros(dm6.shape[:-1] + (5,), jnp.float32),
-            ], axis=-1)
-            dfeats_ref[:, pl.ds(off, CHUNK), :] = dblock
-
-        return carry
-
-    jax.lax.fori_loop(0, nc, sweep2, 0)
+    _sweep2_feature_grads(depth, nc, pix, feats_ref, slot_k,
+                          ga_k, gwr_k, gwg_k, gwb_k, dfeats_ref)
 
 
 def _pallas_fwd_topk(gathered, counts, pix, depth: int):
@@ -913,45 +859,51 @@ def _peel_topk_bwd_rule(depth, residuals, grads):
 peel_topk_pallas.defvjp(_peel_topk_fwd_rule, _peel_topk_bwd_rule)
 
 
-def _keys_sid_kernel(depth, bmax_ref, feats_ref, sid_ref, pix_ref, out_ref):
+def _keys_sid_kernel(depth, bmax_ref, lb_ref, feats_ref, sid_ref, pix_ref,
+                     out_ref):
     """Keys-only forward returning (t1, splat id) per layer — see
     :func:`_keys_sid_update`. out lanes: [0:K] t1, [K:2K] splat id (f32,
-    exact for ids < 2²⁴; +inf vacant)."""
+    exact for ids < 2²⁴; +inf vacant).
+
+    Early termination (round 5, VERDICT r4 #1): the binning emits each
+    tile's candidates sorted by a conservative entry-depth lower bound and
+    supplies the per-chunk suffix minimum of that bound (``lb_ref``,
+    scalar-prefetched (nb, NC+1) f32). The chunk sweep is a while loop
+    that stops as soon as every pixel's K-th nearest hit is closer than
+    the bound of every remaining candidate — at that point no remaining
+    candidate can enter any top-K list, so the result is EXACTLY the full
+    sweep's (the parity tests and the in-bench chip gate compare against
+    the sweep-free XLA twin). Tiles where some pixel has fewer than K
+    hits keep a +inf slot, so ``worst`` stays +inf and the sweep runs to
+    the end — exactness over speed; dense tiles (the expensive ones) are
+    the ones that stop early."""
     i = pl.program_id(0)
     pix = pix_ref[...]
-    keys = jax.lax.fori_loop(
-        0, pl.cdiv(bmax_ref[i], CHUNK),
-        lambda c, st: _keys_sid_update(depth, c, pix, feats_ref, sid_ref,
-                                       st),
-        _init_keys(pix.shape[0], pix.shape[1], depth))
-    out_ref[:, :, 0:depth] = keys[0]
-    out_ref[:, :, depth:2 * depth] = keys[1]
+    nc = pl.cdiv(bmax_ref[i], CHUNK)
+
+    def cond(carry):
+        c, worst = carry[0], carry[1]
+        return (c < nc) & (worst > lb_ref[i, c])
+
+    def body(carry):
+        c = carry[0]
+        st = _keys_sid_update(depth, c, pix, feats_ref, sid_ref,
+                              carry[2:])
+        # st[0] is per-pixel sorted ascending, so its global max is the
+        # max over pixels of the K-th nearest t1 (+inf while any pixel
+        # still has a vacant layer).
+        return (c + 1, jnp.max(st[0])) + st
+
+    carry = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), jnp.float32(jnp.inf))
+        + _init_keys(pix.shape[0], pix.shape[1], depth))
+    out_ref[:, :, 0:depth] = carry[2]
+    out_ref[:, :, depth:2 * depth] = carry[3]
 
 
-def _keys_kernel(depth, bmax_ref, feats_ref, pix_ref, out_ref):
-    """Keys-only forward: the phase-1 sweep alone — per pixel, the K
-    nearest layers' (t1, global candidate slot), nothing else.
-
-    This is the round-4 throughput architecture (VERDICT r3 weak #3): the
-    measured Mosaic liveness cliff makes any chunk body holding ≥4 live
-    (P, C) arrays ~20x slower, and the fused kernel's payload (qa + rgb)
-    state is exactly that. The keys sweep holds ONE (P, C) array (t1) and
-    runs at sum-of-parts speed; the payload for the R·K *winners* (14x
-    fewer than the R·C candidates at bench density) is then shaded
-    OUTSIDE the kernel by plain XLA gathers, whose autodiff provides the
-    whole backward — the kernel itself is pure index selection and needs
-    no VJP. out lanes: [0:K] t1, [K:2K] slot (f32, +inf vacant)."""
-    i = pl.program_id(0)
-    pix = pix_ref[...]
-    keys = jax.lax.fori_loop(
-        0, pl.cdiv(bmax_ref[i], CHUNK),
-        lambda c, st: _keys_update(depth, c, pix, feats_ref, st),
-        _init_keys(pix.shape[0], pix.shape[1], depth))
-    out_ref[:, :, 0:depth] = keys[0]
-    out_ref[:, :, depth:2 * depth] = keys[1]
-
-
-def peel_keys_pallas(packed_feats, candidates, pix_feats, depth: int):
+def peel_keys_pallas(packed_feats, candidates, pix_feats, depth: int,
+                     chunk_lb=None):
     """Fused keys-only tile top-K (see :func:`_keys_sid_kernel`).
 
     Args/shapes as :func:`peel_pallas`. Returns ``(t1, sid)`` each
@@ -959,28 +911,43 @@ def peel_keys_pallas(packed_feats, candidates, pix_feats, depth: int):
     as f32 (+inf for vacant layers) — returning ids instead of candidate
     slots saves a measured 40 ms slot→splat translation gather. NOT
     differentiable — callers must ``stop_gradient`` the inputs
-    (:func:`peel_keys` does)."""
+    (:func:`peel_keys` does).
+
+    ``chunk_lb``: optional (T, C/CHUNK + 1) f32 per-chunk suffix
+    entry-depth lower bounds from ``tile_candidates(..., chunk=CHUNK)``;
+    enables exact early termination. ``None`` → zeros → full sweep."""
     gathered, _ = _gather(packed_feats, candidates)
     t, c, f = gathered.shape
     assert c % CHUNK == 0, c
     p = pix_feats.shape[1]
+    ncol = c // CHUNK + 1
+    if chunk_lb is None:
+        chunk_lb = jnp.zeros((t, ncol), jnp.float32)
+    assert chunk_lb.shape == (t, ncol), (chunk_lb.shape, (t, ncol))
     # (T, 1, C) so the BlockSpec's last two dims equal the array dims
     # (Mosaic's block-shape divisibility rule).
     sidf = jnp.where(candidates >= 0, candidates.astype(jnp.float32),
                      jnp.inf)[:, None, :]
-    gathered, bmax, pix, bt, nb, (sidf,) = _block_pad(
-        gathered, _counts(candidates), pix_feats, sidf)
+    gathered, bmax, pix, bt, nb, (sidf, chunk_lb) = _block_pad(
+        gathered, _counts(candidates), pix_feats, sidf, chunk_lb)
+    if bt > 1:
+        # Per grid step, the sweep bound must hold for every tile in the
+        # block: take the blockwise min (padding rows are +inf-free zeros,
+        # which simply disable early stop for partially-padded blocks).
+        chunk_lb = jnp.min(chunk_lb.reshape(nb, bt, ncol), axis=1)
+    else:
+        chunk_lb = chunk_lb.reshape(nb, ncol)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((bt, c, f), lambda i, bmax_ref: (i, 0, 0)),
-            pl.BlockSpec((bt, 1, c), lambda i, bmax_ref: (i, 0, 0)),
-            pl.BlockSpec((bt, p, G_DIM), lambda i, bmax_ref: (i, 0, 0)),
+            pl.BlockSpec((bt, c, f), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((bt, 1, c), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((bt, p, G_DIM), lambda i, *_: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((bt, p, 2 * depth),
-                               lambda i, bmax_ref: (i, 0, 0)),
+                               lambda i, *_: (i, 0, 0)),
     )
     out = pl.pallas_call(
         functools.partial(_keys_sid_kernel, depth),
@@ -990,7 +957,7 @@ def peel_keys_pallas(packed_feats, candidates, pix_feats, depth: int):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(bmax, gathered, sidf, pix)
+    )(bmax, chunk_lb, gathered, sidf, pix)
     out = out[:t]
     return out[..., 0:depth], out[..., depth:2 * depth]
 
@@ -1013,21 +980,25 @@ def peel_keys_xla(packed_feats, candidates, pix_feats, depth: int):
 
 
 def peel_keys(packed_feats, candidates, pix_feats, depth: int,
-              impl: str = "auto"):
+              impl: str = "auto", chunk_lb=None):
     """Backend dispatcher for the keys-only top-K primitive. Index
     selection is piecewise-constant in the scene parameters, so inputs are
     stop_gradient'ed here — gradients flow through the XLA winner shading
-    instead (render/tiled.py:shade_winners).
+    instead (render/tiled.py:shade_winners_kp).
 
     ``impl``: "auto" (Pallas on TPU, XLA elsewhere), "pallas", or "xla" —
     the explicit modes exist for the on-chip parity gate (bench.py renders
-    the same frame through both and compares)."""
+    the same frame through both and compares). ``chunk_lb`` (optional)
+    enables exact early termination in the Pallas kernel; the XLA twin
+    ignores it (its one-shot sort needs no sweep), which is what makes the
+    parity gate a check of the termination logic too."""
     packed_feats = jax.lax.stop_gradient(packed_feats)
     pix_feats = jax.lax.stop_gradient(pix_feats)
     use_pallas = (jax.default_backend() == "tpu" if impl == "auto"
                   else impl == "pallas")
     if use_pallas:
-        return peel_keys_pallas(packed_feats, candidates, pix_feats, depth)
+        return peel_keys_pallas(packed_feats, candidates, pix_feats, depth,
+                                chunk_lb=chunk_lb)
     return peel_keys_xla(packed_feats, candidates, pix_feats, depth)
 
 

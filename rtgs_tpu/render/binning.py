@@ -70,6 +70,14 @@ class TileBinning(NamedTuple):
       local_overflow: scalar — candidate slots dropped because a tile
         exceeded C (the farthest Gaussians are dropped first).
       global_overflow: scalar —Aussians needing the global list beyond Cg.
+      counts: (T,) int32 valid-prefix length per tile.
+      chunk_lb: (T, W/chunk + 1) f32 — per candidate-chunk, a conservative
+        lower bound on the entry depth t1 of EVERY candidate in this chunk
+        or any later one (suffix min; +inf where the suffix is empty, 0.0
+        in the trailing guard column and whenever no bound is available).
+        The peel kernel stops its chunk sweep once all K winners are
+        nearer than this bound (exact early termination). Only populated
+        when ``chunk`` is given; ``None`` otherwise.
     """
 
     candidates: jnp.ndarray
@@ -78,6 +86,7 @@ class TileBinning(NamedTuple):
     local_overflow: jnp.ndarray
     global_overflow: jnp.ndarray
     counts: jnp.ndarray
+    chunk_lb: jnp.ndarray | None = None
 
 
 def _camera_space(points: jnp.ndarray, camera: Camera) -> jnp.ndarray:
@@ -94,13 +103,30 @@ def tile_candidates(
     max_tiles_local=None,
     max_global: int = 128,
     pad_px: float = 0.0,
+    narrow: int | None = None,
+    chunk: int | None = None,
 ) -> TileBinning:
     """Build fixed-width per-tile candidate lists (all on-device, jittable).
 
-    Within a tile, candidates are ordered by quantized center depth, so when
-    a tile overflows ``max_candidates`` the *farthest* Gaussians drop first.
+    Within a tile, candidates are ordered by a quantized conservative lower
+    bound on their ray entry depth t1 (center depth − √3·s_max — every hit
+    point lies on the ``xᵀΣ⁻¹x = 3`` ellipsoid, whose bounding-sphere
+    radius is √3·s_max, and a point's view depth never exceeds its ray
+    parameter), so when a tile overflows ``max_candidates`` the farthest
+    Gaussians drop first AND the peel kernel can stop its chunk sweep
+    exactly once all K winners are nearer than the remaining candidates'
+    bound (``chunk_lb``). The global list rides FIRST in each row so the
+    depth-sorted local tail keeps tight suffix bounds.
     ``max_tiles_local`` defaults to ~128 px of screen coverage per axis;
-    splats projecting wider than that go to the global list (nearest-first).
+    splats projecting wider than that go to the global list (nearest-first
+    by the same bound — only when ``num_tiles < 2¹⁵``; beyond that the
+    packed key drops the depth bits and drop order is arbitrary).
+
+    ``narrow``: narrow-class fan-out width in tiles (default: env
+    ``RTGS_BIN_NARROW`` or 4) — a STATIC argument so the jit cache keys on
+    it (ADVICE r4: the env read alone silently ignored per-call changes).
+    ``chunk``: when given, the candidate width is padded to a multiple of
+    it and ``chunk_lb`` (see :class:`TileBinning`) is returned.
 
     Compile-bomb discipline (round 4, chipless per-primitive bisect at 1M
     splats): everything downstream of the fan-out is ONE ``lax.sort`` of
@@ -157,10 +183,20 @@ def tile_candidates(
     is_global = live & (behind | (wx > mtx) | (wy > mty))
     is_local = live & ~is_global
 
-    # --- Depth quantization (drop-order inside a tile). ---
+    # --- Entry-depth lower-bound quantization (in-tile sort key, drop
+    # order, and the kernel's early-termination bound). ---
     depth = -_camera_space(g.means, camera)[:, 2]
-    dmax = jnp.maximum(jnp.max(jnp.where(live, depth, 0.0)), 1e-6)
-    dq = jnp.clip(depth / dmax * 65535.0, 0, 65535).astype(jnp.int32)
+    lb = jnp.maximum(
+        depth - math.sqrt(G.BOUNDING_THRESHOLD)
+        * jnp.max(g.scales, axis=-1), 0.0)
+    dmax = jnp.maximum(jnp.max(jnp.where(live, lb, 0.0)), 1e-6)
+    # Truncation rounds DOWN, so dequantized dq·dmax/65535 ≤ lb ≤ t1 —
+    # the bound stays conservative. Clamp to 65534, not 65535: at
+    # num_tiles == 32767 the packed key num_tiles·65536 + 65535 equals
+    # INT32_MAX — the dead-slot sentinel — and the farthest live splat
+    # always quantizes to the top bucket, so its global-list pair would
+    # silently vanish (ADVICE r4).
+    dq = jnp.clip(lb / dmax * 65535.0, 0, 65534).astype(jnp.int32)
 
     # --- Local fan-out, two classes (measured round 4): ≥99.3% of splats
     # at bench densities cover ≤ narrow×narrow tiles, so fanning every
@@ -180,7 +216,9 @@ def tile_candidates(
     # whose overflow counters read zero at narrow = 3 can set the env).
     import os as _os
 
-    narrow = min(int(_os.environ.get("RTGS_BIN_NARROW", "4")), mtx, mty)
+    if narrow is None:
+        narrow = int(_os.environ.get("RTGS_BIN_NARROW", "4"))
+    narrow = min(narrow, mtx, mty)
     is_wide = is_local & ((wx > narrow) | (wy > narrow))
     is_narrow = is_local & ~is_wide
 
@@ -254,24 +292,48 @@ def tile_candidates(
     offs = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(tcounts)[:-1]])
 
-    # Candidate matrix as a GATHER from the sorted stream: tile t's pairs
-    # occupy [offs[t], offs[t] + tcounts[t]); the global row's pairs are
-    # appended directly after each tile's locals so valid indices form a
-    # contiguous prefix (the kernel's chunk skipping keys off the count).
+    # Candidate matrix as a GATHER from the sorted stream: the global
+    # row's pairs come FIRST in every tile's row (they carry no useful
+    # depth ordering relative to the locals, and leading placement keeps
+    # the local tail's suffix depth bounds tight for early termination),
+    # then tile t's own pairs [offs[t], offs[t] + tcounts[t]) — valid
+    # indices form a contiguous prefix (the kernel's chunk skipping keys
+    # off the count).
     cl = jnp.minimum(tcounts[:num_tiles], max_candidates)      # (T,)
     n_glob = jnp.minimum(tcounts[num_tiles], max_global)
     total_c = max_candidates + max_global
+    if chunk:
+        total_c += (-total_c) % chunk
     j = jnp.arange(total_c, dtype=jnp.int32)[None, :]          # (1, C+G)
-    local_idx = jnp.clip(offs[:num_tiles, None] + j, 0, total - 1)
-    gj = j - cl[:, None]
-    glob_idx = jnp.clip(offs[num_tiles] + gj, 0, total - 1)
-    local_ok = j < cl[:, None]
-    glob_ok = (gj >= 0) & (gj < n_glob)
-    idx = jnp.where(local_ok, local_idx, glob_idx)     # one gather
-    candidates = jnp.where(local_ok | glob_ok, val_s[idx], -1)
+    lj = j - n_glob
+    local_idx = jnp.clip(offs[:num_tiles, None] + lj, 0, total - 1)
+    glob_idx = jnp.clip(offs[num_tiles] + j, 0, total - 1)
+    local_ok = (lj >= 0) & (lj < cl[:, None])
+    glob_ok = j < n_glob
+    ok = local_ok | glob_ok
+    idx = jnp.where(glob_ok, glob_idx, local_idx)      # one gather
+    candidates = jnp.where(ok, val_s[idx], -1)
     local_overflow = jnp.sum(
         jnp.maximum(tcounts[:num_tiles] - max_candidates, 0))
     global_overflow = jnp.maximum(tcounts[num_tiles] - max_global, 0)
     counts = cl + n_glob
+
+    chunk_lb = None
+    if chunk:
+        # Per-chunk suffix-min entry-depth bound (see TileBinning). The
+        # packed key's low 16 bits are the quantized bound; dead slots
+        # bound +inf (an empty suffix terminates immediately). The
+        # many-tiles branch has no depth bits — no bound, never stop.
+        nchunk = total_c // chunk
+        if shift == 65536:
+            lb_slot = jnp.where(ok, (key_s[idx] & 0xFFFF).astype(
+                jnp.float32) * (dmax / 65535.0), jnp.inf)
+            cmin = jnp.min(lb_slot.reshape(num_tiles, nchunk, chunk),
+                           axis=2)
+            chunk_lb = jax.lax.cummin(cmin, axis=1, reverse=True)
+        else:
+            chunk_lb = jnp.zeros((num_tiles, nchunk), jnp.float32)
+        chunk_lb = jnp.concatenate(
+            [chunk_lb, jnp.zeros((num_tiles, 1), jnp.float32)], axis=1)
     return TileBinning(candidates, ntx, nty, local_overflow, global_overflow,
-                       counts)
+                       counts, chunk_lb)

