@@ -48,23 +48,22 @@ BASELINE_RAYS_PER_S = 0.49e6  # reference, full 16-deep rays/s (BASELINE.md)
 # 1536 drops 0. 1M@1080p: max 3464 → 4096 drops 0 (8×8 tiles make it
 # worse — smaller tiles raise per-splat fan-out).
 CONFIGS = [
-    # narrow=3: both sub-1M configs have zero wide-class spill at 3x3
+    # bin_narrow=3: both sub-1M configs have zero wide-class spill at 3x3
     # (measured; the overflow counters in the SAME program verify it
     # every run) and the 9-slot fan-out is ~8% faster than the 1M-safe
-    # 4x4 default.
+    # 4x4 default. Passed as a STATIC ARG since round 5 (ADVICE r4: the
+    # env-var form wasn't jit-cache-keyed).
     dict(n=100_000, res=(640, 384), depth=16, label="100k@384p",
-         env=dict(RTGS_BIN_NARROW="3"),
-         render_kw=dict(max_candidates=1536)),
+         render_kw=dict(max_candidates=1536, bin_narrow=3)),
     dict(n=250_000, res=(1280, 720), depth=16, label="250k@720p",
-         env=dict(RTGS_BIN_NARROW="3"),
-         render_kw=dict(max_candidates=1536)),
+         render_kw=dict(max_candidates=1536, bin_narrow=3)),
     dict(n=1_000_000, res=(1920, 1088), depth=16, label="1M@1080p",
          # 8 tile bands bound the per-band gather/shade buffers; the
          # monolithic version never compiled (round 3). 3584 ≥ the
          # measured max per-tile count of 3464 (ovf_probe) — zero drops
          # with ~500 MB less HBM than 4096 (the 8-band grad program
          # compiles at ~15.7 GB of 15.75; headroom matters).
-         render_kw=dict(max_candidates=3584, tile_bands=8)),
+         render_kw=dict(max_candidates=3584, tile_bands=8, bin_narrow=4)),
 ]
 RENDER_KW = dict(tile=(16, 16), max_candidates=512, max_global=128)
 # Per-config subprocess wall cap. Cold remote compiles take minutes; warm
@@ -128,6 +127,55 @@ def _parity_gate(g, pos, rot, depth, render_kw) -> None:
             f"chip-parity gate FAILED: nan_frac={nan_frac:.2%} "
             f"mean={mean:.5f} p99={p99:.5f} — refusing to publish a "
             "throughput number for a kernel that misrenders")
+
+
+# TPU v5e single-chip peaks for the MFU/roofline accounting (public specs:
+# 197 TFLOP/s bf16 MXU, ~1/4 of that for 3-pass HIGHEST-precision f32
+# matmul, 819 GB/s HBM). The render pipeline is *selection*-dominated
+# (VPU compares/selects, not MXU contractions) so its MFU is reported
+# against the bf16 MXU peak as the honest worst-case denominator.
+PEAK_FLOPS_BF16 = 197e12
+PEAK_HBM_GBPS = 819.0
+
+
+def _flop_model(stats: dict, rays: int, depth: int, chunk: int,
+                t_fwd: float, t_step: float, mode: str) -> dict:
+    """Stated arithmetic model of the keys render (VERDICT r4 weak #3).
+
+    Forward, per (pixel, swept candidate): ~31 flops of ray-quadratic
+    intersect (2 small contractions + discriminant + root) and ~90 flops
+    of top-K merge work (K argmin-extract passes, 2 cross-lane reductions
+    + selects over C+K lanes, amortized per candidate). Per (pixel,
+    winner): ~150 flops of shading (quadratic + exp + 15-term SH × 3
+    channels) + 8 composite. Backward (keys path): the kernel re-runs
+    nothing — autodiff re-gathers winners and chains (~2.2x the shade
+    cost) plus the scatter-add, counted as shade-equivalent. The model is
+    for ROOFLINE INTERPRETATION (how far from hardware limits), not a
+    claim of useful-work efficiency; swept-pairs is the padded per-tile
+    candidate total, an upper bound under early termination.
+
+    HBM model: feature rows (256 B) DMAed once per swept pair; winner
+    rows gathered once forward (+1 gather + 1 scatter-add backward).
+    """
+    p_tile = 256
+    k = depth
+    swept = float(stats.get("swept_pairs", stats["live"]))
+    winners = rays * k
+    fwd_flops = swept * p_tile * (31 + 90) + winners * (150 + 8)
+    bwd_flops = swept * p_tile * 0 + winners * 150 * 2.2
+    hbm_fwd = swept * 256 + winners * 256
+    hbm_bwd = winners * 256 * 2
+    out = {
+        "flops_fwd": fwd_flops,
+        "mfu_fwd": fwd_flops / t_fwd / PEAK_FLOPS_BF16,
+        "hbm_gbps_fwd": hbm_fwd / t_fwd / 1e9,
+    }
+    if mode == "fwd+bwd":
+        out["flops_step"] = fwd_flops + bwd_flops
+        out["mfu_step"] = (fwd_flops + bwd_flops) / t_step / PEAK_FLOPS_BF16
+        out["hbm_gbps_step"] = (hbm_fwd + hbm_bwd) / t_step / 1e9
+    return {kk: (round(v, 5) if "mfu" in kk else round(v, 1))
+            for kk, v in out.items()}
 
 
 def _child(idx: int) -> None:
@@ -229,6 +277,11 @@ def _child(idx: int) -> None:
         mode, t_step = "fwd", t_fwd
 
     value = rays / t_step
+    from rtgs_tpu.config import KernelConfig
+    from rtgs_tpu.ops.peel import CHUNK as _CHUNK
+
+    kc = KernelConfig.from_env()
+    stats_np = {k: int(v) for k, v in stats.items()}
     result = {
         "metric": "rays_per_s",
         "value": round(value, 1),
@@ -245,6 +298,14 @@ def _child(idx: int) -> None:
         "local_overflow": local_ovf,
         "global_overflow": global_ovf,
         "dropped_frac": round(dropped_frac, 5),
+        # Roofline accounting (VERDICT r4 weak #3) + the active tuning
+        # knobs (weak #5) so every row is reproducible from itself.
+        **_flop_model(stats_np, rays, depth, _CHUNK, t_fwd, t_step, mode),
+        "knobs": dict(chunk=kc.chunk, tile_block=kc.tile_block,
+                      merge=kc.merge, peel=kc.peel,
+                      bin_narrow=render_kw.get("bin_narrow"),
+                      **{k: v for k, v in render_kw.items()
+                         if k in ("max_candidates", "tile_bands")}),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result), flush=True)

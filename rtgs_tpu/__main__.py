@@ -77,6 +77,11 @@ def _add_common_flags(p: argparse.ArgumentParser):
                    help="Render the tile axis in N sequential bands "
                         "(bounds the candidate-feature gather memory; "
                         "use ~8 for 1M-splat scenes at 1080p).")
+    p.add_argument("--bin-narrow", type=int, default=None,
+                   help="Binning narrow-class fan-out width in tiles "
+                        "(default: env RTGS_BIN_NARROW or 4; 3 is ~8%% "
+                        "faster where the overflow counters stay 0, 4 is "
+                        "required for zero-drop at 1M@1080p).")
     p.add_argument("-v", "--bvh", type=int, default=1024,
                    help="BVH node budget (reference __main__.py:72-78 "
                         "parity; the tile-binned pipeline needs no BVH, so "
@@ -142,6 +147,8 @@ def _render(g, cam, args):
         kw = {}
         if getattr(args, "max_candidates", None):
             kw["max_candidates"] = args.max_candidates
+        if getattr(args, "bin_narrow", None):
+            kw["bin_narrow"] = args.bin_narrow
         if getattr(args, "tile_bands", None):
             logging.getLogger(__name__).warning(
                 "--tile-bands is not supported on the --mesh path; ignored")
@@ -162,6 +169,8 @@ def _render(g, cam, args):
         kw["max_candidates"] = args.max_candidates
     if getattr(args, "tile_bands", None):
         kw["tile_bands"] = args.tile_bands
+    if getattr(args, "bin_narrow", None):
+        kw["bin_narrow"] = args.bin_narrow
     if getattr(args, "sample", 1) > 1:
         return render_progressive(
             g, cam, depth=args.depth, samples=args.sample,

@@ -38,7 +38,8 @@ def render(g: G.Gaussians, camera: Camera, depth: int = 16,
         # flag set drives every path (ADVICE r3).
         kwargs = {k: v for k, v in kwargs.items()
                   if k not in ("max_candidates", "max_global",
-                               "tile_bands", "max_tiles_local", "tile")}
+                               "tile_bands", "max_tiles_local", "tile",
+                               "bin_narrow")}
         return render_oracle(g, camera, depth=depth, **kwargs)
     if renderer == "tiled":
         from rtgs_tpu.render.tiled import render_tiled

@@ -223,29 +223,31 @@ def tile_candidates(
     is_narrow = is_local & ~is_wide
 
     def fan_out(sel, tx0s, ty0s, wxs, wys, dqs, span_x, span_y):
+        # Layout: (span, span, N) with the LONG axis minor — the (N, 3, 3)
+        # form pads its minor dims onto the (8, 128) TPU tile, measured
+        # 130x slower to build (scripts/binprobe2.py, round 5).
         dx = jnp.arange(span_x, dtype=jnp.int32)
         dy = jnp.arange(span_y, dtype=jnp.int32)
-        txs = tx0s[:, None] + dx[None, :]
-        tys = ty0s[:, None] + dy[None, :]
-        tid = txs[:, :, None] * nty + tys[:, None, :]
-        ok = (sel[:, None, None]
-              & (dx[None, :, None] < wxs[:, None, None])
-              & (dy[None, None, :] < wys[:, None, None]))
-        m = span_x * span_y
-        tid, ok = tid.reshape(-1, m), ok.reshape(-1, m)
+        txs = tx0s[None, :] + dx[:, None]              # (sx, L)
+        tys = ty0s[None, :] + dy[:, None]              # (sy, L)
+        tid = txs[:, None, :] * nty + tys[None, :, :]  # (sx, sy, L)
+        ok = (sel[None, None, :]
+              & (dx[:, None, None] < wxs[None, None, :])
+              & (dy[None, :, None] < wys[None, None, :]))
         if num_tiles <= (1 << 15) - 1:
-            key = jnp.where(ok, tid * 65536 + dqs[:, None], _INT32_MAX)
+            key = jnp.where(ok, tid * 65536 + dqs[None, None, :],
+                            _INT32_MAX)
         else:
             # Too many tiles for a packed int32 key: sort by tile only
             # (drop order becomes arbitrary within a tile).
             key = jnp.where(ok, tid, _INT32_MAX)
-        return key
+        return key.reshape(span_x * span_y, -1)
 
     shift = 65536 if num_tiles <= (1 << 15) - 1 else 1
 
     key_n = fan_out(is_narrow, tx0, ty0, wx, wy, dq, narrow, narrow)
     val_n = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None], key_n.shape)
+        jnp.arange(n, dtype=jnp.int32)[None, :], key_n.shape)
 
     ids = jnp.arange(n, dtype=jnp.int32)
     if mtx > narrow or mty > narrow:
@@ -259,7 +261,7 @@ def tile_candidates(
         wsafe = jnp.minimum(widx, n - 1)
         key_w = fan_out(wlive, tx0[wsafe], ty0[wsafe], wx[wsafe],
                         wy[wsafe], dq[wsafe], mtx, mty)
-        val_w = jnp.broadcast_to(wsafe[:, None], key_w.shape)
+        val_w = jnp.broadcast_to(wsafe[None, :], key_w.shape)
         # Budget spill → global list (kept conservative, not dropped).
         is_global = is_global | (is_wide & (wpos >= wlimit))
         key_mid = [key_n.reshape(-1), key_w.reshape(-1)]
@@ -284,35 +286,54 @@ def tile_candidates(
     # slightly larger sort).
     key_s, val_s = jax.lax.sort((key_f, val_f), num_keys=1)
 
-    total = key_s.shape[0]
-    # Dead pairs → row num_tiles + 1 (num_tiles is the global list's row).
-    tile_of = jnp.where(key_s == _INT32_MAX, num_tiles + 1, key_s // shift)
-    tcounts = jnp.zeros((num_tiles + 2,), jnp.int32).at[tile_of].add(
-        1, mode="drop")
-    offs = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(tcounts)[:-1]])
+    # Tile offsets by BINARY SEARCH on the sorted keys (tile t's pairs
+    # span [offs[t], offs[t+1]) because the tile id rides the key's high
+    # bits; dead pairs carry INT32_MAX and sink past the last boundary).
+    # The scatter-add formulation this replaces measured 8.0 ms at 900k
+    # pairs (scripts/binprobe2.py) — the search is ~20 gathers of T+2.
+    # No overflow: num_tiles·shift ≤ (2¹⁵−1)·2¹⁶ < 2³¹ − 2¹⁶.
+    bounds = jnp.concatenate([
+        jnp.arange(num_tiles + 1, dtype=jnp.int32) * shift,
+        jnp.asarray([_INT32_MAX], jnp.int32)])
+    offs = jnp.searchsorted(key_s, bounds, side="left").astype(jnp.int32)
+    tcounts = jnp.diff(offs)                     # (T+1,): locals + global
 
-    # Candidate matrix as a GATHER from the sorted stream: the global
-    # row's pairs come FIRST in every tile's row (they carry no useful
-    # depth ordering relative to the locals, and leading placement keeps
-    # the local tail's suffix depth bounds tight for early termination),
-    # then tile t's own pairs [offs[t], offs[t] + tcounts[t]) — valid
-    # indices form a contiguous prefix (the kernel's chunk skipping keys
-    # off the count).
+    # Candidate matrix as PER-TILE ROW SLICES of the sorted stream (each
+    # tile's pairs are CONTIGUOUS there, so a vmapped dynamic_slice — an
+    # XLA gather of whole rows — replaces the 1.6M-element scalar gather
+    # that measured 11.5 ms, scripts/binprobe2.py). The global row's
+    # pairs come FIRST in every tile's row (they carry no useful depth
+    # ordering relative to the locals, and leading placement keeps the
+    # local tail's suffix depth bounds tight for early termination), then
+    # tile t's own pairs — valid indices form a contiguous prefix (the
+    # kernel's chunk skipping keys off the count). Layout trick: build
+    # [globals-right-aligned-in-mg | locals] rows and slice total_c
+    # columns starting at mg − n_glob, which lands the globals exactly
+    # ahead of the locals with one uniform dynamic column shift.
     cl = jnp.minimum(tcounts[:num_tiles], max_candidates)      # (T,)
     n_glob = jnp.minimum(tcounts[num_tiles], max_global)
+    mg = max_global
     total_c = max_candidates + max_global
     if chunk:
         total_c += (-total_c) % chunk
+
+    # Front/back-pad the stream so no slice start or extent ever clamps
+    # (a clamped dynamic_slice silently shifts the window).
+    val_sp = jnp.concatenate([jnp.full((mg,), -1, jnp.int32), val_s,
+                              jnp.full((total_c,), -1, jnp.int32)])
+    grow = jax.lax.dynamic_slice(val_sp, (offs[num_tiles] + n_glob,),
+                                 (mg,))          # right-aligned globals
+    lstarts = offs[:num_tiles] + mg
+    lrows = jax.vmap(
+        lambda o: jax.lax.dynamic_slice(val_sp, (o,), (total_c,)))(lstarts)
+    combined = jnp.concatenate(
+        [jnp.broadcast_to(grow[None, :], (num_tiles, mg)), lrows], axis=1)
+    rows = jax.lax.dynamic_slice_in_dim(combined, mg - n_glob, total_c,
+                                        axis=1)
     j = jnp.arange(total_c, dtype=jnp.int32)[None, :]          # (1, C+G)
     lj = j - n_glob
-    local_idx = jnp.clip(offs[:num_tiles, None] + lj, 0, total - 1)
-    glob_idx = jnp.clip(offs[num_tiles] + j, 0, total - 1)
-    local_ok = (lj >= 0) & (lj < cl[:, None])
-    glob_ok = j < n_glob
-    ok = local_ok | glob_ok
-    idx = jnp.where(glob_ok, glob_idx, local_idx)      # one gather
-    candidates = jnp.where(ok, val_s[idx], -1)
+    ok = (j < n_glob) | ((lj >= 0) & (lj < cl[:, None]))
+    candidates = jnp.where(ok, rows, -1)
     local_overflow = jnp.sum(
         jnp.maximum(tcounts[:num_tiles] - max_candidates, 0))
     global_overflow = jnp.maximum(tcounts[num_tiles] - max_global, 0)
@@ -320,13 +341,27 @@ def tile_candidates(
 
     chunk_lb = None
     if chunk:
-        # Per-chunk suffix-min entry-depth bound (see TileBinning). The
-        # packed key's low 16 bits are the quantized bound; dead slots
-        # bound +inf (an empty suffix terminates immediately). The
-        # many-tiles branch has no depth bits — no bound, never stop.
+        # Per-chunk suffix-min entry-depth bound (see TileBinning), from
+        # the same row slices applied to the sorted KEYS (low 16 bits =
+        # quantized bound). Dead slots bound +inf (an empty suffix
+        # terminates immediately). The many-tiles branch has no depth
+        # bits — no bound, never stop.
         nchunk = total_c // chunk
         if shift == 65536:
-            lb_slot = jnp.where(ok, (key_s[idx] & 0xFFFF).astype(
+            key_sp = jnp.concatenate(
+                [jnp.full((mg,), _INT32_MAX, jnp.int32), key_s,
+                 jnp.full((total_c,), _INT32_MAX, jnp.int32)])
+            gkrow = jax.lax.dynamic_slice(
+                key_sp, (offs[num_tiles] + n_glob,), (mg,))
+            lkrows = jax.vmap(
+                lambda o: jax.lax.dynamic_slice(key_sp, (o,),
+                                                (total_c,)))(lstarts)
+            kcomb = jnp.concatenate(
+                [jnp.broadcast_to(gkrow[None, :], (num_tiles, mg)),
+                 lkrows], axis=1)
+            krows = jax.lax.dynamic_slice_in_dim(
+                kcomb, mg - n_glob, total_c, axis=1)
+            lb_slot = jnp.where(ok, (krows & 0xFFFF).astype(
                 jnp.float32) * (dmax / 65535.0), jnp.inf)
             cmin = jnp.min(lb_slot.reshape(num_tiles, nchunk, chunk),
                            axis=2)

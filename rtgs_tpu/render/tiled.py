@@ -221,7 +221,7 @@ def _tile_pixel_features(camera: Camera, tile, pixel_offset=None):
 @partial(jax.jit, static_argnames=("depth", "tile", "max_candidates",
                                    "max_global", "max_tiles_local",
                                    "with_stats",
-                                   "tile_bands"))
+                                   "tile_bands", "bin_narrow"))
 def render_tiled_pallas(
     g: G.Gaussians,
     camera: Camera,
@@ -233,6 +233,7 @@ def render_tiled_pallas(
     with_stats: bool = False,
     tile_bands: int | None = None,
     pixel_offset=None,
+    bin_narrow: int | None = None,
 ):
     """Full-frame render through the fused Pallas peel kernel
     (``rtgs_tpu/ops/peel.py``). Same semantics as :func:`render_tiled`;
@@ -261,7 +262,7 @@ def render_tiled_pallas(
     binning = tile_candidates(
         g, camera, tile=tile, max_candidates=max_candidates,
         max_global=max_global, max_tiles_local=max_tiles_local,
-        pad_px=0.0 if pixel_offset is None else 0.5)
+        pad_px=0.0 if pixel_offset is None else 0.5, narrow=bin_narrow)
     cand = binning.candidates
     c2 = cand.shape[1]
     from rtgs_tpu.ops.peel import CHUNK as _CHUNK
@@ -638,6 +639,10 @@ def render_tiled_keys(
             "live": jnp.sum(binning.candidates >= 0),
             "local_overflow": binning.local_overflow,
             "global_overflow": binning.global_overflow,
+            # Chunk-padded candidate total the kernel sweeps (upper bound
+            # under early termination) — the bench's FLOP-model input.
+            "swept_pairs": jnp.sum(
+                (-(-binning.counts // _CHUNK)) * _CHUNK),
         }
         return img, stats
     return img
@@ -645,7 +650,7 @@ def render_tiled_keys(
 
 @partial(jax.jit, static_argnames=("depth", "tile", "max_candidates",
                                    "max_global", "tile_chunk",
-                                   "max_tiles_local"))
+                                   "max_tiles_local", "bin_narrow"))
 def render_tiled(
     g: G.Gaussians,
     camera: Camera,
@@ -656,6 +661,7 @@ def render_tiled(
     tile_chunk: int | None = None,
     max_tiles_local=None,
     pixel_offset=None,
+    bin_narrow: int | None = None,
 ):
     """Full-frame tiled render. Returns (W, H, 3) radiance.
 
@@ -672,7 +678,7 @@ def render_tiled(
     binning = tile_candidates(
         g, camera, tile=tile, max_candidates=max_candidates,
         max_global=max_global, max_tiles_local=max_tiles_local,
-        pad_px=0.0 if pixel_offset is None else 0.5)
+        pad_px=0.0 if pixel_offset is None else 0.5, narrow=bin_narrow)
     feats = precompute_features(g, camera)
 
     # Pixel ray directions for the padded (ntx·tw, nty·th) grid, arranged

