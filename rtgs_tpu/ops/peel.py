@@ -994,6 +994,11 @@ def peel_keys(packed_feats, candidates, pix_feats, depth: int,
     parity gate a check of the termination logic too."""
     packed_feats = jax.lax.stop_gradient(packed_feats)
     pix_feats = jax.lax.stop_gradient(pix_feats)
+    if chunk_lb is not None:
+        # The early-termination bounds derive from the scene (binning's
+        # entry-depth lower bounds) — differentiable inputs that would
+        # otherwise drag a JVP into the non-differentiable pallas_call.
+        chunk_lb = jax.lax.stop_gradient(chunk_lb)
     use_pallas = (jax.default_backend() == "tpu" if impl == "auto"
                   else impl == "pallas")
     if use_pallas:
