@@ -215,7 +215,9 @@ def render_tiled_sharded(
             packed = pack_features(precompute_features(g_shard, camera))
             t1_k, sid_k = peel_keys(packed, cand_local, pix_local, depth,
                                     chunk_lb=lb_local)
-            a_k, r_k, g_k, b_k = shade_winners(packed, sid_k, pix_local)
+            a_k, r_k, g_k, b_k = shade_winners(
+                packed, sid_k, pix_local,
+                jax.lax.stop_gradient(cand_local))
             best = _merge_layers(best, (t1_k, a_k, r_k, g_k, b_k), depth)
             if n_prims > 1:
                 perm = [(j, (j + 1) % n_prims) for j in range(n_prims)]

@@ -305,7 +305,7 @@ def render_tiled_pallas(
 
 
 def shade_winners(packed: jnp.ndarray, sid_k: jnp.ndarray,
-                  pix: jnp.ndarray):
+                  pix: jnp.ndarray, cand_sid: jnp.ndarray | None = None):
     """Shade the K winning layers per pixel from their Gaussian indices.
 
     The keys-only kernel (``ops/peel.py:_keys_sid_kernel``) selects
@@ -344,7 +344,7 @@ def shade_winners(packed: jnp.ndarray, sid_k: jnp.ndarray,
     (T, K, P) production twin) so the quadratic chain exists once
     (VERDICT r4 weak #6); like it, gradients flow to ``packed`` only.
     """
-    out = shade_winners_kp(packed, sid_k.transpose(0, 2, 1), pix)
+    out = shade_winners_kp(packed, sid_k.transpose(0, 2, 1), pix, cand_sid)
     return tuple(x.transpose(0, 2, 1) for x in out)
 
 
@@ -397,7 +397,7 @@ def _shade_kp_impl(packed, sid_kp, pix):
 
 @jax.custom_vjp
 def shade_winners_kp(packed: jnp.ndarray, sid_kp: jnp.ndarray,
-                     pix: jnp.ndarray):
+                     pix: jnp.ndarray, cand_sid: jnp.ndarray | None = None):
     """(T, K, P)-layout twin of :func:`shade_winners`.
 
     With K (=16, a sublane multiple) second-minor and P (=256, a lane
@@ -410,21 +410,31 @@ def shade_winners_kp(packed: jnp.ndarray, sid_kp: jnp.ndarray,
     Hand-written VJP: autodiff of the unrolled forward builds the rows
     cotangent from 59 strided slice-VJPs (measured +77 ms); the custom
     backward assembles the SAME cotangent as one dense 64-lane stack and
-    a single scatter-add into the feature table. Differentiable w.r.t.
-    ``packed`` only — ``sid_kp`` is index selection and ``pix`` (camera)
-    gradients are not propagated on this path (the oracle/tiled paths
-    differentiate cameras if ever needed).
+    accumulates it per splat. Differentiable w.r.t. ``packed`` only —
+    ``sid_kp`` is index selection and ``pix`` (camera) gradients are not
+    propagated on this path (the oracle/tiled paths differentiate cameras
+    if ever needed).
+
+    ``cand_sid``: optional (T, C) int32 per-tile candidate id lists (the
+    binning's ``candidates`` rows matching these tiles, −1 dead). When
+    given, the backward replaces the M = T·K·P-row random scatter-add
+    (measured 117 ms at 100k@384p — 90% of the whole backward) with a
+    per-tile one-hot mask-matmul on the MXU that pre-reduces the winner
+    cotangents to candidate rows (each tile's winners come FROM its
+    candidate list, and a tile's candidate ids are unique), followed by a
+    T·C-row ``segment_sum``. When ``None``, the legacy dense scatter-add
+    is used.
 
     Returns (alpha, r, g, b) each (T, K, P)."""
     out, _ = _shade_kp_impl(packed, sid_kp, pix)
     return out
 
 
-def _shade_kp_fwd(packed, sid_kp, pix):
+def _shade_kp_fwd(packed, sid_kp, pix, cand_sid=None):
     out, res = _shade_kp_impl(packed, sid_kp, pix)
     # ``packed`` rides in the residuals only as a zeros_like template for
     # the scatter-add (an alias, not a copy).
-    return out, (packed, res)
+    return out, (packed, cand_sid, res)
 
 
 def _shade_lane_maps(f: int):
@@ -464,7 +474,7 @@ def _shade_lane_maps(f: int):
 
 
 def _shade_kp_bwd(residuals, cots):
-    packed, (safe, pixT) = residuals
+    packed, cand_sid, (safe, pixT) = residuals
     d_alpha, d_r, d_g, d_b_ch = cots
     t, k, p = safe.shape
     f = packed.shape[1]
@@ -514,10 +524,35 @@ def _shade_kp_bwd(residuals, cots):
     b0 = jnp.matmul(pl.T, pixx, precision=hp)           # (F, T·P)
     d_rows = (af.reshape(f, t, k, p)
               * b0.reshape(f, t, 1, p))                 # (F, T, K, P)
-    d_rows = d_rows.reshape(f, m).T                     # (M, F)
-    d_packed = jnp.zeros_like(packed).at[
-        safe.reshape(-1)].add(d_rows)
-    return d_packed, None, None
+    if cand_sid is None:
+        d_rows = d_rows.reshape(f, m).T                 # (M, F)
+        d_packed = jnp.zeros_like(packed).at[
+            safe.reshape(-1)].add(d_rows)
+        return d_packed, None, None, None
+
+    # Mask-matmul accumulation (round 5): winners of tile t all come from
+    # that tile's candidate row, whose ids are unique within the tile, so
+    #   d_cand[t, c] = Σ_{k,p} [cand_sid[t, c] == safe[t, k, p]] · d_rows
+    # is an exact per-tile pre-reduction — an (C × K·P) one-hot contraction
+    # the MXU eats (the measured alternative, a T·K·P-row scatter-add, is
+    # ~9 GB/s effective on TPU). Vacant winners carry safe == N (the
+    # sentinel row, whose gradient is discarded) and dead candidate slots
+    # carry −1: neither ever matches, so both drop out by construction.
+    # One-hot entries are 0/1 — exact in bf16 — and each output element
+    # sums ≤ K·P bounded-magnitude gradient terms, so DEFAULT (bf16 MXU)
+    # precision costs ~0.4% relative gradient noise, far below the
+    # minibatch gradient noise the optimizer already averages over; the
+    # CPU lowering contracts in f32, which keeps the cross-implementation
+    # gradient parity tests exact.
+    onehot = (cand_sid[:, :, None] == safe.reshape(t, 1, k * p)).astype(
+        jnp.float32)                                    # (T, C, K·P)
+    d_cand = jnp.einsum("tcm,ftm->tcf", onehot,
+                        d_rows.reshape(f, t, k * p))    # (T, C, F)
+    ids = jnp.where(cand_sid >= 0, cand_sid,
+                    packed.shape[0] - 1).reshape(-1)
+    d_packed = jax.ops.segment_sum(
+        d_cand.reshape(-1, f), ids, num_segments=packed.shape[0])
+    return d_packed, None, None, None
 
 
 shade_winners_kp.defvjp(_shade_kp_fwd, _shade_kp_bwd)
@@ -599,11 +634,12 @@ def render_tiled_keys(
     def band(cand_b, pix_b, lb_b):
         _t1_k, sid_k = peel_keys(packed, cand_b, pix_b, depth,
                                  impl=keys_impl, chunk_lb=lb_b)
+        cand_sid = jax.lax.stop_gradient(cand_b)
         if shade_layout == "kp":
             sid_kp = sid_k.transpose(0, 2, 1)        # (Tb, K, P)
-            layers = shade_winners_kp(packed, sid_kp, pix_b)
+            layers = shade_winners_kp(packed, sid_kp, pix_b, cand_sid)
             return composite_layers_kp(*layers)      # (Tb, P, 3)
-        layers = shade_winners(packed, sid_k, pix_b)
+        layers = shade_winners(packed, sid_k, pix_b, cand_sid)
         return composite_layers(*layers)             # (Tb, P, 3)
 
     t = cand.shape[0]
