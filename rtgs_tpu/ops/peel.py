@@ -883,7 +883,12 @@ def _keys_sid_kernel(depth, bmax_ref, lb_ref, feats_ref, sid_ref, pix_ref,
 
     def cond(carry):
         c, worst = carry[0], carry[1]
-        return (c < nc) & (worst > lb_ref[i, c])
+        # lb is (NC+1, nb): chunk-major, TILE-minor. SMEM prefetch pads
+        # the MINOR dim to 128, so the tile-minor layout costs
+        # (NC+1)·pad(nb) — the (nb, NC+1) layout padded every tile's 14
+        # bound entries to 128 and blew the 1 MB SMEM budget at 3600
+        # tiles (1.84 MB — the round-5 250k@720p bench failure).
+        return (c < nc) & (worst > lb_ref[c, i])
 
     def body(carry):
         c = carry[0]
@@ -937,6 +942,7 @@ def peel_keys_pallas(packed_feats, candidates, pix_feats, depth: int,
         chunk_lb = jnp.min(chunk_lb.reshape(nb, bt, ncol), axis=1)
     else:
         chunk_lb = chunk_lb.reshape(nb, ncol)
+    chunk_lb = chunk_lb.T  # (NC+1, nb): tile-minor, see kernel cond
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

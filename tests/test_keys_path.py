@@ -222,3 +222,52 @@ def test_keys_grad_through_pallas_impl(key):
         assert np.isfinite(a).all(), name
         rel = np.abs(a - b) / (np.abs(b).max() + 1e-8)
         assert rel.max() < 1e-4, (name, rel.max())
+
+
+def test_grad_plan_matches_segment_sum(key):
+    """The gather-form gradient accumulation (GradPlan: mask-matmul +
+    per-splat gather) must equal the segment_sum form (grad_map=False,
+    the banded/sharded fallback) — same d_cand, different placement of
+    the final per-splat reduction."""
+    g = random_scene(key, 400, extent=0.8, scale_range=(0.01, 0.06))
+    cam = _orbit_cam((32, 32))
+    kw = dict(depth=8, tile=(16, 16), max_candidates=256, max_global=32)
+
+    def loss(gm):
+        def f(gg):
+            return jnp.sum(render_tiled_keys(
+                gg, cam, grad_map=gm, **kw) ** 2)
+        return f
+
+    gp = jax.grad(loss(True))(g)
+    gs = jax.grad(loss(False))(g)
+    for name in ["means", "quats", "scales", "colors", "opacities", "sh"]:
+        a = np.asarray(getattr(gp, name))
+        b = np.asarray(getattr(gs, name))
+        assert np.isfinite(a).all(), name
+        rel = np.abs(a - b) / (np.abs(b).max() + 1e-8)
+        assert rel.max() < 1e-5, (name, rel.max())
+
+
+def test_grad_plan_wide_class(key):
+    """GradPlan with wide-class splats in play: big scales force the
+    wide fan-out (and the global list), exercising wide_idx/wide_ids."""
+    g = random_scene(key, 300, extent=0.5, scale_range=(0.02, 0.35))
+    cam = _orbit_cam((48, 32), r=2.0)
+    kw = dict(depth=8, tile=(16, 16), max_candidates=512, max_global=64,
+              bin_narrow=2)
+
+    def loss(gm):
+        def f(gg):
+            return jnp.sum(render_tiled_keys(
+                gg, cam, grad_map=gm, **kw) ** 2)
+        return f
+
+    gp = jax.grad(loss(True))(g)
+    gs = jax.grad(loss(False))(g)
+    for name in ["means", "scales", "colors"]:
+        a = np.asarray(getattr(gp, name))
+        b = np.asarray(getattr(gs, name))
+        assert np.isfinite(a).all(), name
+        rel = np.abs(a - b) / (np.abs(b).max() + 1e-8)
+        assert rel.max() < 1e-5, (name, rel.max())
