@@ -155,18 +155,69 @@ def inv_covariance_direct(quats: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarra
     return rs @ jnp.swapaxes(rs, -1, -2)
 
 
+def _rotation_columns(quats: jnp.ndarray):
+    """The three rotated basis vectors (columns of R), each (..., 3) —
+    the flat-component building block: on TPU any (..., 3, 3) rotation
+    array pads each matrix onto the (8, 128) vector tile (a measured
+    ~30 ms of pure padding traffic in the 100k feature pack), so the hot
+    paths assemble what they need from these columns instead."""
+    shape = quats.shape[:-1]
+    ex = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), shape + (3,))
+    ey = jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0]), shape + (3,))
+    ez = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), shape + (3,))
+    return (quat.rot_vec3(quats, ex), quat.rot_vec3(quats, ey),
+            quat.rot_vec3(quats, ez))
+
+
+def inv_covariance_packed6(quats: jnp.ndarray, scales: jnp.ndarray):
+    """``Σ⁻¹`` entries ``[m00, m01, m02, m11, m12, m22]`` as (..., 6).
+
+    Identical algorithm to :func:`inv_covariance` (assemble
+    ``Σ = R S² Rᵀ``, invert by adjugate/determinant — the reference's
+    ``ti.math.inverse``, ``gaussian.py:196,215``) carried out entirely in
+    flat per-component arrays: no (..., 3, 3) intermediate exists, so
+    nothing pads (see :func:`_rotation_columns`)."""
+    mx, my, mz = _rotation_columns(quats)
+    sx, sy, sz = (scales[..., 0], scales[..., 1], scales[..., 2])
+    ux, uy, uz = mx[..., 0] * sx, mx[..., 1] * sx, mx[..., 2] * sx
+    vx, vy, vz = my[..., 0] * sy, my[..., 1] * sy, my[..., 2] * sy
+    wx, wy, wz = mz[..., 0] * sz, mz[..., 1] * sz, mz[..., 2] * sz
+    # Σ = u uᵀ + v vᵀ + w wᵀ (the R·diag(s) matmul's k-ascending sum).
+    s00 = ux * ux + vx * vx + wx * wx
+    s01 = ux * uy + vx * vy + wx * wy
+    s02 = ux * uz + vx * vz + wx * wz
+    s11 = uy * uy + vy * vy + wy * wy
+    s12 = uy * uz + vy * vz + wy * wz
+    s22 = uz * uz + vz * vz + wz * wz
+    # Adjugate of the symmetric Σ (cofactor formulas verbatim from
+    # _adjugate_inverse_3x3 with b=d=s01, c=g=s02, f=h=s12).
+    co00 = s11 * s22 - s12 * s12
+    co01 = -(s01 * s22 - s12 * s02)
+    co02 = s01 * s12 - s11 * s02
+    det = s00 * co00 + s01 * co01 + s02 * co02
+    m00 = co00 / det
+    m01 = co01 / det                       # adjᵀ: co10 == co01 for sym
+    m02 = co02 / det
+    m11 = (s00 * s22 - s02 * s02) / det
+    m12 = -(s00 * s12 - s01 * s02) / det
+    m22 = (s00 * s11 - s01 * s01) / det
+    return m00, m01, m02, m11, m12, m22
+
+
 def aabb(means: jnp.ndarray, quats: jnp.ndarray, scales: jnp.ndarray):
     """Axis-aligned bounds from the 6 principal-axis endpoints
     ``μ ± 3·scaleᵢ·(R eᵢ)`` (reference ``gaussian.py:104-138``).
 
     Returns ``(p_min, p_max)``, each (..., 3). Conservative for the
     ``xᵀΣ⁻¹x = 3`` ellipsoid because its semi-axes are ``√3·scaleᵢ`` and
-    ``√3·√(Σⱼ R²ₖⱼ s²ⱼ) ≤ 3·maxⱼ|Rₖⱼ|sⱼ``.
+    ``√3·√(Σⱼ R²ₖⱼ s²ⱼ) ≤ 3·maxⱼ|Rₖⱼ|sⱼ``. Assembled from the rotation
+    COLUMNS, not an (..., 3, 3) matrix (see :func:`_rotation_columns`).
     """
-    r = quat.as_rotation_mat3(quats)
-    # Endpoint offsets: columns of R scaled by 3·sᵢ → (..., 3 axes, 3 xyz).
-    offs = jnp.swapaxes(r * (BOUNDING_THRESHOLD * scales[..., None, :]), -1, -2)
-    ext = jnp.max(jnp.abs(offs), axis=-2)  # per-axis max |offset| over the 3 endpoints
+    mx, my, mz = _rotation_columns(quats)
+    ext = jnp.maximum(
+        jnp.maximum(jnp.abs(mx * scales[..., 0:1]),
+                    jnp.abs(my * scales[..., 1:2])),
+        jnp.abs(mz * scales[..., 2:3])) * BOUNDING_THRESHOLD
     return means - ext, means + ext
 
 

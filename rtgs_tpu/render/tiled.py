@@ -54,14 +54,22 @@ class TileFeatures(NamedTuple):
 
 
 def precompute_features(g: G.Gaussians, camera: Camera) -> TileFeatures:
-    cov_inv = G.inv_covariance(g.quats, g.scales)  # (N, 3, 3) adjugate form
-    m6 = jnp.stack(
-        [cov_inv[:, 0, 0], cov_inv[:, 0, 1], cov_inv[:, 0, 2],
-         cov_inv[:, 1, 1], cov_inv[:, 1, 2], cov_inv[:, 2, 2]], axis=-1)
+    # Flat-component adjugate inverse (identical algorithm to
+    # G.inv_covariance): the (N, 3, 3) form pads every splat's 3×3 onto
+    # the (8, 128) TPU vector tile — measured ~30 ms of padding traffic
+    # at 100k (scripts/keystage.py, round 5).
+    m00, m01, m02, m11, m12, m22 = G.inv_covariance_packed6(
+        g.quats, g.scales)
+    m6 = jnp.stack([m00, m01, m02, m11, m12, m22], axis=-1)
     e = camera.position[None, :] - g.means
-    me = jnp.einsum("nij,nj->ni", cov_inv, e,
-                    precision=jax.lax.Precision.HIGHEST)
-    c0 = jnp.sum(e * me, axis=-1) - G.BOUNDING_THRESHOLD
+    ex, ey, ez = e[:, 0], e[:, 1], e[:, 2]
+    # Symmetric matvec Σ⁻¹ e, componentwise (the einsum this replaces
+    # contracted a padded (N, 3, 3) operand).
+    mex = m00 * ex + m01 * ey + m02 * ez
+    mey = m01 * ex + m11 * ey + m12 * ez
+    mez = m02 * ex + m12 * ey + m22 * ez
+    me = jnp.stack([mex, mey, mez], axis=-1)
+    c0 = (ex * mex + ey * mey + ez * mez) - G.BOUNDING_THRESHOLD
 
     def sentinel(x, row):
         row = jnp.asarray(row, x.dtype).reshape((1,) + x.shape[1:])
@@ -625,7 +633,14 @@ def render_tiled_keys(
     keys_impl: str = "auto",
     shade_layout: str = "kp",
     bin_narrow: int | None = None,
-    grad_map: bool = True,
+    # Measured round 5 (scripts/keystage.py, 100k@384p): the gather-form
+    # gradient plan saves ~30 ms of segment_sum in the backward but its
+    # placement-map construction costs ~95 ms in the forward (the
+    # stream-inversion second sort + 1.4M-query searchsorted) — a net
+    # loss at every bench config, so OFF by default; kept as a measured
+    # option (and as the seed of a cheaper map via the fan-out's own
+    # tile ids, which needs no searchsorted).
+    grad_map: bool = False,
 ):
     """Full-frame render via the keys-only kernel + XLA winner shading.
 
