@@ -68,19 +68,24 @@ def run_config(idx: int) -> dict:
     twin = np.asarray(jax.jit(lambda gg: render_tiled_keys(
         gg, cam, depth=depth, keys_impl="xla", **render_kw))(g))
     print(f"[{cfg['label']}] xla-twin render {time.time()-t0:.0f}s")
-    t0 = time.time()
-    oracle = np.asarray(jax.jit(lambda gg: render_oracle(
-        gg, cam, depth=depth))(g))
-    print(f"[{cfg['label']}] oracle render {time.time()-t0:.0f}s")
-
     row = {
         "config": cfg["label"],
         "res": list(cfg["res"]),
         "backend": jax.default_backend(),
-        "prod_vs_oracle": metrics(prod, oracle),
         "prod_vs_twin": metrics(prod, twin),
-        "twin_vs_oracle": metrics(twin, oracle),
     }
+    # The oracle is O(N·rays): ~1 min at 100k@384p, ~5 min at 250k@720p,
+    # hours at 1M@1080p — skip it there (the twin already isolates the
+    # kernel; the oracle chain is anchored at the two smaller configs).
+    if cfg["n"] * cfg["res"][0] * cfg["res"][1] <= 2.5e11:
+        t0 = time.time()
+        oracle = np.asarray(jax.jit(lambda gg: render_oracle(
+            gg, cam, depth=depth))(g))
+        print(f"[{cfg['label']}] oracle render {time.time()-t0:.0f}s")
+        row["prod_vs_oracle"] = metrics(prod, oracle)
+        row["twin_vs_oracle"] = metrics(twin, oracle)
+    else:
+        print(f"[{cfg['label']}] oracle skipped (O(N*rays) too large)")
     print(json.dumps(row))
     return row
 
