@@ -114,6 +114,12 @@ class TrainConfig:
     densify_grad_threshold: float = 2e-4
     opacity_reset_every: int = 3000
     prune_opacity: float = 5e-3
+    # Prune splats whose max scale exceeds this fraction of the scene
+    # extent (the 3DGS recipe's world-size prune): without it a runaway
+    # splat that inflates after densification stops can never be removed
+    # — the 616k stress fit collapsed 19.3 -> 9.9 dB exactly that way
+    # (BASELINE.md round 5).
+    prune_max_scale: float = 0.1
     percent_dense: float = 0.01
     # Checkpointing.
     checkpoint_every: int = 1000

@@ -236,7 +236,9 @@ class Solver:
         scales = np.exp(np.asarray(self.params.log_scales))
         max_scale = scales.max(-1)
 
-        prune = mask0 & (opac < c.prune_opacity)
+        prune = mask0 & ((opac < c.prune_opacity)
+                         | (max_scale > c.prune_max_scale
+                            * self.scene_extent))
         dense_limit = c.percent_dense * self.scene_extent
         hot = mask0 & ~prune & (grad_avg > c.densify_grad_threshold)
         clone = hot & (max_scale <= dense_limit)

@@ -49,7 +49,11 @@ def main():
     ap.add_argument("--cand", type=int, default=1536)
     ap.add_argument("--renderer", type=str, default="keys")
     ap.add_argument("--densify-every", type=int, default=100)
-    ap.add_argument("--densify-grad-threshold", type=float, default=6e-5)
+    ap.add_argument("--densify-grad-threshold", type=float, default=1.5e-4)
+    ap.add_argument("--max-live", type=int, default=150_000,
+                    help="stop densifying once live exceeds this (the "
+                    "6e-5-threshold stress run grew 10k->616k unchecked "
+                    "and destabilized after growth stopped)")
     ap.add_argument("--out", type=str, default="/tmp/fitscratch.ply")
     args = ap.parse_args()
     res = tuple(int(x) for x in args.res.split(","))
@@ -129,6 +133,10 @@ def main():
         dt = time.perf_counter() - t0
         densified = (solver.step % cfg.densify_every == 0
                      and cfg.densify_from <= solver.step <= cfg.densify_until)
+        if solver.num_live >= args.max_live and cfg.densify_until > 0:
+            cfg.densify_until = 0          # growth target reached
+            print(f"step {solver.step}: live={solver.num_live} >= "
+                  f"{args.max_live}, densification stopped")
         if not densified and solver.mask.shape[0] == cap_before and i > 1:
             step_times.append(dt)
         if solver.step % 50 == 0 or solver.step == 1:

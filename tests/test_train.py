@@ -95,6 +95,11 @@ def test_density_control_mechanics(key):
         opacity_logits=params.opacity_logits.at[0].set(-12.0))
     cfg = TrainConfig(densify_from=1, densify_every=1,
                       densify_grad_threshold=0.0,  # every live one is "hot"
+                      # The 16-splat fixture's scales are a large fraction
+                      # of its extent by construction; disable the
+                      # world-size prune (tested separately below) so this
+                      # test exercises clone/split/opacity-prune counting.
+                      prune_max_scale=1e9,
                       opacity_reset_every=0, checkpoint_every=0)
     solver = Solver(params=params, mask=gt.mask, cfg=cfg, cameras=cams,
                     targets=targets, depth=8, renderer="oracle")
@@ -160,6 +165,7 @@ def test_densify_preserves_adam_moments(key):
         cfg = TrainConfig(densify_from=densify_from, densify_every=3,
                           densify_grad_threshold=1e9,  # no clones/splits
                           prune_opacity=-1.0,          # no prunes
+                          prune_max_scale=1e9,         # (incl. world-size)
                           opacity_reset_every=0, checkpoint_every=0)
         return Solver(params=init_params(gt), mask=gt.mask, cfg=cfg,
                       cameras=cams, targets=targets, depth=8,
@@ -271,3 +277,26 @@ def test_fit_from_transforms_dataset(tmp_path, key):
     for _ in range(60):
         last = solver.train_step()
     assert last["psnr"] > first["psnr"] + 1.0
+
+
+def test_world_size_prune(key):
+    """A splat whose scale inflates past prune_max_scale x scene_extent
+    is removed at the next densify step (the 3DGS world-size prune; the
+    616k from-scratch stress fit collapsed 19.3 -> 9.9 dB when a
+    runaway splat could not be pruned, BASELINE.md round 5)."""
+    gt = random_scene(key, 16, extent=0.6, scale_range=(0.002, 0.005))
+    cams = [_cam(0.0, res=(16, 16))]
+    targets = [render_oracle(gt, cams[0], depth=8)]
+    params = init_params(gt)
+    # Inflate splat 0 far past the world-size bound.
+    params = params._replace(
+        log_scales=params.log_scales.at[0].set(np.log(100.0)))
+    cfg = TrainConfig(densify_from=1, densify_every=1,
+                      densify_grad_threshold=1e9,   # no clones/splits
+                      opacity_reset_every=0, checkpoint_every=0)
+    solver = Solver(params=params, mask=gt.mask, cfg=cfg, cameras=cams,
+                    targets=targets, depth=8, renderer="oracle")
+    live0 = solver.num_live
+    solver.train_step()
+    assert solver.num_live == live0 - 1
+    assert float(np.asarray(solver.mask)[0]) == 0.0
