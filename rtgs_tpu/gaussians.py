@@ -22,6 +22,7 @@ from __future__ import annotations
 import math
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from rtgs_tpu.utils import quaternion as quat
@@ -272,8 +273,15 @@ def hit(
     ``Δ == 0 → (−B/2A, inf)``.
     """
     e = origins - means  # (..., 3)
-    me = jnp.einsum("...ij,...j->...i", cov_inv, e)
-    md = jnp.einsum("...ij,...j->...i", cov_inv, directions)
+    # HIGHEST: on the TPU MXU the default bf16 input precision feeds the
+    # cancellation-sensitive quadratic (c = eᵀΣ⁻¹e − 3 subtracts ~equal
+    # magnitudes); at bench density the ORACLE rendered at 11.6 dB PSNR
+    # vs its own CPU output until these were pinned (round 5) — the same
+    # hardware bug class as the round-3 production-kernel NaN
+    # (BASELINE.md "hardware-correctness").
+    hp = jax.lax.Precision.HIGHEST
+    me = jnp.einsum("...ij,...j->...i", cov_inv, e, precision=hp)
+    md = jnp.einsum("...ij,...j->...i", cov_inv, directions, precision=hp)
     a = jnp.sum(directions * md, axis=-1)
     b = 2.0 * jnp.sum(directions * me, axis=-1)
     c = jnp.sum(e * me, axis=-1) - BOUNDING_THRESHOLD

@@ -53,7 +53,10 @@ def _safe_midpoint_alpha(gathered_cov_inv, gathered_means, gathered_opac,
     tbar_safe = jnp.where(valid & finite, tbar, 0.0)
     pos = origins + tbar_safe[..., None] * directions
     d = pos - gathered_means
-    md = jnp.einsum("...ij,...j->...i", gathered_cov_inv, d)
+    # HIGHEST: ρ's exponent subtracts ~equal magnitudes; bf16 MXU inputs
+    # here broke the chip oracle at bench density (see gaussians.hit).
+    md = jnp.einsum("...ij,...j->...i", gathered_cov_inv, d,
+                    precision=jax.lax.Precision.HIGHEST)
     rho = jnp.exp(-jnp.sum(d * md, axis=-1))
     alpha = gathered_opac * rho
     # Δ == 0 gives t2 = inf → ρ = exp(-inf) = 0 in the reference; replicate.

@@ -65,8 +65,12 @@ def run_config(idx: int) -> dict:
         gg, cam, depth=depth, **render_kw))(g))
     print(f"[{cfg['label']}] production render {time.time()-t0:.0f}s")
     t0 = time.time()
+    # The XLA twin materializes per-tile (P, C) candidate fields for the
+    # whole frame at once — 5.7 GB x3 at 250k@720p (OOM); band it.
+    twin_kw = dict(render_kw)
+    twin_kw.setdefault("tile_bands", 8)
     twin = np.asarray(jax.jit(lambda gg: render_tiled_keys(
-        gg, cam, depth=depth, keys_impl="xla", **render_kw))(g))
+        gg, cam, depth=depth, keys_impl="xla", **twin_kw))(g))
     print(f"[{cfg['label']}] xla-twin render {time.time()-t0:.0f}s")
     row = {
         "config": cfg["label"],
