@@ -78,16 +78,22 @@ def run_config(idx: int) -> dict:
         "backend": jax.default_backend(),
         "prod_vs_twin": metrics(prod, twin),
     }
+    print(json.dumps(row))  # flush before the oracle — it can crash the
+    #                         tunneled worker on long lax.map programs
     # The oracle is O(N·rays): ~1 min at 100k@384p, ~5 min at 250k@720p,
     # hours at 1M@1080p — skip it there (the twin already isolates the
     # kernel; the oracle chain is anchored at the two smaller configs).
     if cfg["n"] * cfg["res"][0] * cfg["res"][1] <= 2.5e11:
-        t0 = time.time()
-        oracle = np.asarray(jax.jit(lambda gg: render_oracle(
-            gg, cam, depth=depth))(g))
-        print(f"[{cfg['label']}] oracle render {time.time()-t0:.0f}s")
-        row["prod_vs_oracle"] = metrics(prod, oracle)
-        row["twin_vs_oracle"] = metrics(twin, oracle)
+        try:
+            t0 = time.time()
+            oracle = np.asarray(jax.jit(lambda gg: render_oracle(
+                gg, cam, depth=depth, pixel_chunk=512))(g))
+            print(f"[{cfg['label']}] oracle render {time.time()-t0:.0f}s")
+            row["prod_vs_oracle"] = metrics(prod, oracle)
+            row["twin_vs_oracle"] = metrics(twin, oracle)
+        except Exception as e:
+            row["oracle_error"] = f"{type(e).__name__}: {e}"[:200]
+            print(f"[{cfg['label']}] oracle failed: {e}")
     else:
         print(f"[{cfg['label']}] oracle skipped (O(N*rays) too large)")
     print(json.dumps(row))
