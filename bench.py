@@ -53,7 +53,10 @@ CONFIGS = [
     # every run) and the 9-slot fan-out is ~8% faster than the 1M-safe
     # 4x4 default. Passed as a STATIC ARG since round 5 (ADVICE r4: the
     # env-var form wasn't jit-cache-keyed).
+    # RTGS_CHUNK=256 measured −3 ms kernel at this config (keystage r5)
+    # but +10% at 1M — per-config, stamped into the row's knob field.
     dict(n=100_000, res=(640, 384), depth=16, label="100k@384p",
+         env={"RTGS_CHUNK": "256"},
          render_kw=dict(max_candidates=1536, bin_narrow=3)),
     dict(n=250_000, res=(1280, 720), depth=16, label="250k@720p",
          render_kw=dict(max_candidates=1536, bin_narrow=3)),
@@ -179,6 +182,10 @@ def _flop_model(stats: dict, rays: int, depth: int, chunk: int,
 
 
 def _child(idx: int) -> None:
+    cfg = CONFIGS[idx]
+    # BEFORE the rtgs imports: RTGS_CHUNK is read at peel.py import time.
+    os.environ.update(cfg.get("env", {}))
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -191,9 +198,6 @@ def _child(idx: int) -> None:
     from rtgs_tpu.render.tiled import render_tiled_keys
     from rtgs_tpu.scene import random_scene
     from rtgs_tpu.viewer.orbit import orbit_camera_pose
-
-    cfg = CONFIGS[idx]
-    os.environ.update(cfg.get("env", {}))  # before any tracing
     render_kw = dict(RENDER_KW, **cfg.get("render_kw", {}))
     _log(f"child {cfg['label']}: building scene")
     key = jax.random.PRNGKey(0)

@@ -398,6 +398,47 @@ def _keys_update(depth, c, pix, feats_ref, st):
     return nt1, jnp.where(jnp.isfinite(nt1), nord, jnp.inf)
 
 
+def _merge_topk_rank(depth, state, t1, sid):
+    """Rank-matrix variant of :func:`_merge_topk_lex` (round 5,
+    ``RTGS_MERGE=rank``): instead of K serial argmin-extract passes (each
+    two cross-lane reductions — a ~32-deep latency chain per chunk), rank
+    every lane by a blocked pairwise lexicographic comparison
+    (``rank_i = #{j : (t1_j, sid_j) < (t1_i, sid_i)}``) and select lanes
+    with rank < K by a one-hot weighted sum. More raw VPU ops but a
+    ~constant-depth dependency graph; EXACT same result — splat ids are
+    unique within a tile, so finite lanes have distinct ranks, and +inf
+    lanes can only land in vacant slots (where the inf fill is restored).
+    Measured on chip before any default change (see BASELINE.md)."""
+    t1m = jnp.concatenate([state[0], t1], axis=-1)
+    sidm = jnp.concatenate([state[1], jnp.broadcast_to(sid, t1.shape)],
+                           axis=-1)
+    l = t1m.shape[-1]
+    jb = 8
+    assert l % jb == 0, l
+    rank = jnp.zeros(t1m.shape, jnp.float32)
+    for j0 in range(0, l, jb):
+        t1j = t1m[..., j0:j0 + jb]
+        sidj = sidm[..., j0:j0 + jb]
+        lt = ((t1j[..., :, None] < t1m[..., None, :])
+              | ((t1j[..., :, None] == t1m[..., None, :])
+                 & (sidj[..., :, None] < sidm[..., None, :])))
+        rank = rank + jnp.sum(lt.astype(jnp.float32), axis=-2)
+    fin = jnp.isfinite(t1m)
+    t1s = jnp.where(fin, t1m, 0.0)        # inf·0 would NaN the sums
+    sids = jnp.where(fin, sidm, 0.0)
+    klane = _lane(state[0].shape).astype(jnp.float32)       # (..., K)
+    # f32 throughout the expansion: Mosaic only supports non-no-op minor
+    # dim inserts for 32-bit types (an i1 [..., None] fails to compile).
+    finf = fin.astype(jnp.float32)
+    oh = ((rank[..., :, None] == klane[..., None, :])
+          .astype(jnp.float32) * finf[..., :, None])        # (..., L, K)
+    out_t1 = jnp.sum(t1s[..., :, None] * oh, axis=-2)
+    out_sid = jnp.sum(sids[..., :, None] * oh, axis=-2)
+    hit = jnp.sum(oh, axis=-2) > 0
+    return (jnp.where(hit, out_t1, jnp.inf),
+            jnp.where(hit, out_sid, jnp.inf))
+
+
 def _merge_topk_lex(depth, state, t1, sid):
     """Exact top-K merge by LEXICOGRAPHIC (t1, sid) — the splat-id variant
     of :func:`_merge_topk` used by the keys-only kernel.
@@ -413,6 +454,8 @@ def _merge_topk_lex(depth, state, t1, sid):
     sid among the t1-minimal lanes) — no lane-index bookkeeping, which
     also makes this CHEAPER than the slot-ordinal merge (2 cross-lane
     reductions per pass instead of 3)."""
+    if _merge_mode(depth) == "rank":
+        return _merge_topk_rank(depth, state, t1, sid)
     t1m = jnp.concatenate([state[0], t1], axis=-1)
     sidm = jnp.concatenate([state[1], jnp.broadcast_to(sid, t1.shape)],
                            axis=-1)
