@@ -271,3 +271,33 @@ def test_grad_plan_wide_class(key):
         assert np.isfinite(a).all(), name
         rel = np.abs(a - b) / (np.abs(b).max() + 1e-8)
         assert rel.max() < 1e-5, (name, rel.max())
+
+
+def test_banded_gradients_match_unbanded(key):
+    """jax.grad through the BANDED path (lax.map + jax.checkpoint remat +
+    the segment_sum backward — the 1M@1080p program family) must match
+    the unbanded gradient: banding partitions tiles, nothing else."""
+    g = random_scene(key, 400, extent=0.8, scale_range=(0.01, 0.06))
+    cam = _orbit_cam((48, 48))
+    kw = dict(depth=8, tile=(16, 16), max_candidates=256, max_global=32)
+
+    def loss(bands):
+        def f(gg):
+            return jnp.sum(render_tiled_keys(
+                gg, cam, tile_bands=bands, **kw) ** 2)
+        return f
+
+    gb = jax.grad(loss(3))(g)
+    gu = jax.grad(loss(None))(g)
+    # Not exact: per-band segment_sums accumulate partial per-splat sums
+    # that the unbanded path adds in one pass — a floating-point
+    # reassociation, amplified where a splat's contributions nearly
+    # cancel (quats). Same normalized-quantile tolerance as the other
+    # cross-implementation gradient tests.
+    for name in ["means", "quats", "scales", "colors", "opacities", "sh"]:
+        a = np.asarray(getattr(gb, name))
+        b = np.asarray(getattr(gu, name))
+        assert np.isfinite(a).all(), name
+        rel = np.abs(a - b) / (np.abs(b).max() + 1e-8)
+        assert np.quantile(rel, 0.99) < 5e-4, (name, np.quantile(rel, 0.99))
+        assert rel.max() < 5e-3, (name, rel.max())
