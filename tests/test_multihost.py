@@ -67,8 +67,12 @@ ref = np.asarray(render_tiled_pallas(g, cam, depth=8, tile=(16, 16),
                                      max_candidates=128, max_global=32))
 checked = 0
 for shard in img.addressable_shards:
+    # atol 1e-4: since round 5 the sharded path runs the keys family
+    # (matmul-form winner shading) while the reference render here is the
+    # fused-payload path (elementwise quadratic) — the standard
+    # cross-implementation FP difference class (observed max 3.5e-5).
     np.testing.assert_allclose(np.asarray(shard.data), ref[shard.index],
-                               atol=1e-5)
+                               atol=1e-4)
     checked += 1
 assert checked > 0
 print(f"OK process={jax.process_index()}", flush=True)
