@@ -477,9 +477,139 @@ def _merge_topk_lex(depth, state, t1, sid):
         t1m = jnp.where(first, jnp.inf, t1m)
         return t1m, sidm, out_t1, out_sid
 
-    carry = jax.lax.fori_loop(0, depth, body,
-                              (t1m, sidm, out_t1, out_sid))
+    carry = (t1m, sidm, out_t1, out_sid)
+    if _merge_unroll():
+        for k in range(depth):
+            carry = body(k, carry)
+    else:
+        carry = jax.lax.fori_loop(0, depth, body, carry)
     return carry[2], carry[3]
+
+
+SID_LANE = 59
+
+
+def _intersect_t1_lp(feats, pix):
+    """Entry depths in CANDIDATE-MAJOR layout: (B, C, P) instead of
+    (B, P, C) — same math as :func:`_intersect_t1`, operands swapped in
+    the dot_generals. See :func:`_merge_topk_lex_lp` for why."""
+    d = pix[..., 0:3]          # (B, P, 3)
+    fd = pix[..., 3:9]         # (B, P, 6)
+    m6 = feats[..., 0:6]       # (B, C, 6)
+    me = feats[..., 6:9]
+    c0 = feats[..., 9]         # (B, C)
+
+    contract = (((2,), (2,)), ((0,), (0,)))
+    a = jax.lax.dot_general(m6, fd, contract,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)  # (B, C, P)
+    b = 2.0 * jax.lax.dot_general(me, d, contract,
+                                  preferred_element_type=jnp.float32,
+                                  precision=jax.lax.Precision.HIGHEST)
+    cq = c0[..., None]
+    delta = b * b - 4.0 * a * cq
+    sq = jnp.sqrt(jnp.where(delta > 0, delta, 0.0))
+    t1 = (-b - sq) / (2.0 * a)
+    valid = (delta >= 0.0) & (t1 > 0.0)
+    return jnp.where(valid, t1, jnp.inf)
+
+
+def _merge_topk_lex_lp(depth, state, t1, sid):
+    """Candidate-major (LP) twin of :func:`_merge_topk_lex`: state
+    (B, K, P), chunk (B, C, P), merged along axis 1 (the SUBLANE axis).
+
+    Why: the lane-major merge's two reductions per extraction pass each
+    collapse 144 LANES — on the (8, 128) VPU a ~8-op in-register shuffle
+    tree per 8-row group of the 256 pixels (~256 vector ops per
+    reduction). With candidates on the SUBLANE axis the same reduction is
+    a pairwise min tree over vregs plus a 3-step cross-sublane roll per
+    pixel column (~40 vector ops) — ~6x less reduction work on the vreg
+    model. MEASURED (scripts/lpprobe.py, 100k@384p, chip): only −9%
+    (45.1 → 41.0 ms kernel) — per-chunk cost on this backend tracks
+    total swept lanes, not the reduction op count, so the win is real
+    but small; LP also makes the (T, K, P) output layout (what shading
+    consumes) free. Results match pk up to dot_general operand order
+    (ulp-level t1 differences re-ordering near-ties; the bench parity
+    gate bounds the effect). Tie handling is identical: min t1, then
+    min sid among the t1-minimal rows."""
+    t1m = jnp.concatenate([state[0], t1], axis=1)
+    sidm = jnp.concatenate([state[1], sid], axis=1)
+    klane = jax.lax.broadcasted_iota(jnp.int32, state[0].shape, 1)
+    out_t1 = jnp.full_like(state[0], jnp.inf)
+    out_sid = jnp.full_like(state[1], jnp.inf)
+
+    def body(k, carry):
+        t1m, sidm, out_t1, out_sid = carry
+        m = jnp.min(t1m, axis=1, keepdims=True)             # (B, 1, P)
+        finite = jnp.isfinite(m)
+        sel = t1m == m
+        s = jnp.min(jnp.where(sel, sidm, jnp.inf), axis=1,
+                    keepdims=True)
+        first = sel & (sidm == s)
+        at_k = klane == k
+        out_t1 = jnp.where(at_k & finite, m, out_t1)
+        out_sid = jnp.where(at_k & finite, s, out_sid)
+        t1m = jnp.where(first, jnp.inf, t1m)
+        return t1m, sidm, out_t1, out_sid
+
+    carry = (t1m, sidm, out_t1, out_sid)
+    if _merge_unroll():
+        for k in range(depth):
+            carry = body(k, carry)
+    else:
+        carry = jax.lax.fori_loop(0, depth, body, carry)
+    return carry[2], carry[3]
+
+
+def _merge_unroll() -> bool:
+    """Python-unroll the K extraction passes instead of a ``fori_loop``
+    (env ``RTGS_MERGE_UNROLL``). Round 2 banned unrolling for the 6-array
+    fused state (280 MB of spill at tile_block=4); the keys-only state is
+    2 arrays at tile_block=1, and the measured per-fori-iteration overhead
+    (~40x the vreg model, scripts/kmicro.py) makes the loop structure
+    itself a candidate bottleneck. Measured round 5 (scripts/lpprobe.py,
+    100k@384p, chip): unroll −8% on the pk kernel (45.1 → 41.3 ms),
+    bitwise-identical output, no spill at the keys state size — so the
+    ban is lifted and unroll is the default."""
+    return os.environ.get("RTGS_MERGE_UNROLL", "1") == "1"
+
+
+def _keys_sid_update_lp(depth, c, pix, feats_ref, st):
+    """LP chunk step: the winning splat id rides IN the feature table
+    (lane ``SID_LANE``, +inf on the sentinel row), so the broadcast to
+    (B, C, P) is a free minor-dim broadcast — no separate sid operand and
+    no lane→sublane transpose."""
+    off = pl.multiple_of(c * CHUNK, CHUNK)
+    feats = feats_ref[:, pl.ds(off, CHUNK), :]   # (B, CHUNK, F)
+    t1 = _intersect_t1_lp(feats, pix)            # (B, CHUNK, P)
+    sid = jnp.broadcast_to(feats[..., SID_LANE:SID_LANE + 1], t1.shape)
+    return _merge_topk_lex_lp(depth, st, t1, sid)
+
+
+def _keys_sid_kernel_lp(depth, bmax_ref, lb_ref, feats_ref, pix_ref,
+                        out_ref):
+    """LP-layout keys forward: identical semantics (and early termination)
+    to :func:`_keys_sid_kernel`; out ROWS instead of lanes: [0:K] t1,
+    [K:2K] splat id, each (B, K, P)."""
+    i = pl.program_id(0)
+    pix = pix_ref[...]
+    nc = pl.cdiv(bmax_ref[i], CHUNK)
+
+    def cond(carry):
+        c, worst = carry[0], carry[1]
+        return (c < nc) & (worst > lb_ref[c, i])
+
+    def body(carry):
+        c = carry[0]
+        st = _keys_sid_update_lp(depth, c, pix, feats_ref, carry[2:])
+        return (c + 1, jnp.max(st[0])) + st
+
+    bt, p = pix.shape[0], pix.shape[1]
+    inf = jnp.full((bt, depth, p), jnp.inf, jnp.float32)
+    carry = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.float32(jnp.inf), inf, inf))
+    out_ref[:, 0:depth, :] = carry[2]
+    out_ref[:, depth:2 * depth, :] = carry[3]
 
 
 def _keys_sid_update(depth, c, pix, feats_ref, sid_ref, st):
@@ -950,16 +1080,27 @@ def _keys_sid_kernel(depth, bmax_ref, lb_ref, feats_ref, sid_ref, pix_ref,
     out_ref[:, :, depth:2 * depth] = carry[3]
 
 
+def _keys_kernel_layout() -> str:
+    """Internal kernel data layout: "lp" (default — candidates on the
+    sublane axis, pixels on lanes; the merge's reductions run as vreg
+    min-trees + 3-step sublane rolls) or "pk" (the round-4 lane-major
+    form; reductions shuffle across 144 lanes). Identical results; see
+    :func:`_merge_topk_lex_lp` for the measured reasoning."""
+    return os.environ.get("RTGS_KEYS_LAYOUT", "lp")
+
+
 def peel_keys_pallas(packed_feats, candidates, pix_feats, depth: int,
-                     chunk_lb=None):
-    """Fused keys-only tile top-K (see :func:`_keys_sid_kernel`).
+                     chunk_lb=None, out_layout: str = "pk"):
+    """Fused keys-only tile top-K (see :func:`_keys_sid_kernel` /
+    :func:`_keys_sid_kernel_lp`).
 
     Args/shapes as :func:`peel_pallas`. Returns ``(t1, sid)`` each
-    ``(T, P, K)`` depth-ascending; ``sid`` is the winning GAUSSIAN INDEX
-    as f32 (+inf for vacant layers) — returning ids instead of candidate
-    slots saves a measured 40 ms slot→splat translation gather. NOT
-    differentiable — callers must ``stop_gradient`` the inputs
-    (:func:`peel_keys` does).
+    ``(T, P, K)`` depth-ascending (``out_layout="kp"`` → ``(T, K, P)``,
+    free in the LP kernel layout and what the shading stage consumes);
+    ``sid`` is the winning GAUSSIAN INDEX as f32 (+inf for vacant
+    layers) — returning ids instead of candidate slots saves a measured
+    40 ms slot→splat translation gather. NOT differentiable — callers
+    must ``stop_gradient`` the inputs (:func:`peel_keys` does).
 
     ``chunk_lb``: optional (T, C/CHUNK + 1) f32 per-chunk suffix
     entry-depth lower bounds from ``tile_candidates(..., chunk=CHUNK)``;
@@ -972,12 +1113,27 @@ def peel_keys_pallas(packed_feats, candidates, pix_feats, depth: int,
     if chunk_lb is None:
         chunk_lb = jnp.zeros((t, ncol), jnp.float32)
     assert chunk_lb.shape == (t, ncol), (chunk_lb.shape, (t, ncol))
-    # (T, 1, C) so the BlockSpec's last two dims equal the array dims
-    # (Mosaic's block-shape divisibility rule).
-    sidf = jnp.where(candidates >= 0, candidates.astype(jnp.float32),
-                     jnp.inf)[:, None, :]
-    gathered, bmax, pix, bt, nb, (sidf, chunk_lb) = _block_pad(
-        gathered, _counts(candidates), pix_feats, sidf, chunk_lb)
+    lp = _keys_kernel_layout() == "lp"
+    if lp:
+        # The LP kernel reads each candidate's splat id from feature lane
+        # SID_LANE (a free minor-dim broadcast to (B, C, P) in-kernel; a
+        # separate (C,)-shaped operand would need a lane→sublane
+        # transpose). Stamp the GATHERED block's lane directly (cheaper
+        # than rewriting the (N+1, F) table and robust to caller-packed
+        # tables); -1 padding gets +inf = vacant.
+        sid_rows = jnp.where(candidates >= 0,
+                             candidates.astype(jnp.float32), jnp.inf)
+        gathered = gathered.at[:, :, SID_LANE].set(sid_rows)
+        extra = (chunk_lb,)
+    else:
+        # (T, 1, C) so the BlockSpec's last two dims equal the array dims
+        # (Mosaic's block-shape divisibility rule).
+        sidf = jnp.where(candidates >= 0, candidates.astype(jnp.float32),
+                         jnp.inf)[:, None, :]
+        extra = (sidf, chunk_lb)
+    gathered, bmax, pix, bt, nb, extra = _block_pad(
+        gathered, _counts(candidates), pix_feats, *extra)
+    chunk_lb = extra[-1]
     if bt > 1:
         # Per grid step, the sweep bound must hold for every tile in the
         # block: take the blockwise min (padding rows are +inf-free zeros,
@@ -986,6 +1142,33 @@ def peel_keys_pallas(packed_feats, candidates, pix_feats, depth: int,
     else:
         chunk_lb = chunk_lb.reshape(nb, ncol)
     chunk_lb = chunk_lb.T  # (NC+1, nb): tile-minor, see kernel cond
+
+    if lp:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((bt, c, f), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((bt, p, G_DIM), lambda i, *_: (i, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((bt, 2 * depth, p),
+                                   lambda i, *_: (i, 0, 0)),
+        )
+        out = pl.pallas_call(
+            functools.partial(_keys_sid_kernel_lp, depth),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((nb * bt, 2 * depth, p),
+                                           jnp.float32),
+            interpret=_interpret(),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(bmax, chunk_lb, gathered, pix)
+        out = out[:t]
+        t1_kp, sid_kp = out[:, 0:depth, :], out[:, depth:2 * depth, :]
+        if out_layout == "kp":
+            return t1_kp, sid_kp
+        return t1_kp.transpose(0, 2, 1), sid_kp.transpose(0, 2, 1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -998,6 +1181,7 @@ def peel_keys_pallas(packed_feats, candidates, pix_feats, depth: int,
         out_specs=pl.BlockSpec((bt, p, 2 * depth),
                                lambda i, *_: (i, 0, 0)),
     )
+    sidf = extra[0]
     out = pl.pallas_call(
         functools.partial(_keys_sid_kernel, depth),
         grid_spec=grid_spec,
@@ -1008,7 +1192,10 @@ def peel_keys_pallas(packed_feats, candidates, pix_feats, depth: int,
             vmem_limit_bytes=100 * 1024 * 1024),
     )(bmax, chunk_lb, gathered, sidf, pix)
     out = out[:t]
-    return out[..., 0:depth], out[..., depth:2 * depth]
+    t1_k, sid_k = out[..., 0:depth], out[..., depth:2 * depth]
+    if out_layout == "kp":
+        return t1_k.transpose(0, 2, 1), sid_k.transpose(0, 2, 1)
+    return t1_k, sid_k
 
 
 def peel_keys_xla(packed_feats, candidates, pix_feats, depth: int):
@@ -1029,7 +1216,7 @@ def peel_keys_xla(packed_feats, candidates, pix_feats, depth: int):
 
 
 def peel_keys(packed_feats, candidates, pix_feats, depth: int,
-              impl: str = "auto", chunk_lb=None):
+              impl: str = "auto", chunk_lb=None, out_layout: str = "pk"):
     """Backend dispatcher for the keys-only top-K primitive. Index
     selection is piecewise-constant in the scene parameters, so inputs are
     stop_gradient'ed here — gradients flow through the XLA winner shading
@@ -1040,7 +1227,9 @@ def peel_keys(packed_feats, candidates, pix_feats, depth: int,
     the same frame through both and compares). ``chunk_lb`` (optional)
     enables exact early termination in the Pallas kernel; the XLA twin
     ignores it (its one-shot sort needs no sweep), which is what makes the
-    parity gate a check of the termination logic too."""
+    parity gate a check of the termination logic too. ``out_layout``:
+    "pk" → (T, P, K) results, "kp" → (T, K, P) (free in the LP kernel
+    layout; what the shading stage consumes)."""
     packed_feats = jax.lax.stop_gradient(packed_feats)
     pix_feats = jax.lax.stop_gradient(pix_feats)
     if chunk_lb is not None:
@@ -1052,8 +1241,11 @@ def peel_keys(packed_feats, candidates, pix_feats, depth: int,
                   else impl == "pallas")
     if use_pallas:
         return peel_keys_pallas(packed_feats, candidates, pix_feats, depth,
-                                chunk_lb=chunk_lb)
-    return peel_keys_xla(packed_feats, candidates, pix_feats, depth)
+                                chunk_lb=chunk_lb, out_layout=out_layout)
+    out = peel_keys_xla(packed_feats, candidates, pix_feats, depth)
+    if out_layout == "kp":
+        return tuple(x.transpose(0, 2, 1) for x in out)
+    return out
 
 
 def _counts(candidates):

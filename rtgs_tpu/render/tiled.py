@@ -562,11 +562,34 @@ def _shade_kp_bwd(residuals, cots):
     c = cand_sid.shape[1]
     if plan is None:
         # Banded / sharded callers have no whole-frame placement map:
-        # accumulate per splat with a T·C-row segment_sum.
-        ids = jnp.where(cand_sid >= 0, cand_sid,
-                        packed.shape[0] - 1).reshape(-1)
-        d_packed = jax.ops.segment_sum(
-            d_cand.reshape(-1, f), ids, num_segments=packed.shape[0])
+        # accumulate per splat with a segment_sum over candidate rows.
+        # Head/tail split (round 5): winners live in the EARLY candidate
+        # columns (globals ride first, locals are depth-sorted, and the
+        # forward's early termination sweeps only ~2-3 of 13 chunks at
+        # bench densities), so the trailing ~3/4 of d_cand rows are
+        # almost always all-zero — but a full T·C-row segment_sum pays
+        # ~22 ns/row for them regardless (measured 35 ms at 100k@384p;
+        # ~85% dead rows at 1M). Segment-sum the head columns only, and
+        # add the tail rows under a lax.cond that fires only when some
+        # tail element is actually nonzero — exact, because an all-zero
+        # tail contributes nothing to any segment.
+        ids = jnp.where(cand_sid >= 0, cand_sid, packed.shape[0] - 1)
+        w_head = min(c, max(256, -(-(c // 4) // 128) * 128))
+        if w_head >= c:
+            d_packed = jax.ops.segment_sum(
+                d_cand.reshape(-1, f), ids.reshape(-1),
+                num_segments=packed.shape[0])
+            return d_packed, None, None, None
+        head = jax.ops.segment_sum(
+            d_cand[:, :w_head, :].reshape(-1, f),
+            ids[:, :w_head].reshape(-1), num_segments=packed.shape[0])
+        tail = d_cand[:, w_head:, :]
+        d_packed = jax.lax.cond(
+            jnp.any(tail != 0.0),
+            lambda: head + jax.ops.segment_sum(
+                tail.reshape(-1, f), ids[:, w_head:].reshape(-1),
+                num_segments=packed.shape[0]),
+            lambda: head)
         return d_packed, None, None, None
     # Gather-form accumulation (GradPlan): every splat reads its ≤
     # narrow²+1 candidate-row cotangents directly — no scatter, no
@@ -677,15 +700,20 @@ def render_tiled_keys(
     pix = _tile_pixel_features(camera, tile, pixel_offset)
 
     def band(cand_b, pix_b, lb_b):
-        _t1_k, sid_k = peel_keys(packed, cand_b, pix_b, depth,
-                                 impl=keys_impl, chunk_lb=lb_b)
         cand_sid = jax.lax.stop_gradient(cand_b)
         if plan is not None:
             cand_sid = (cand_sid, jax.lax.stop_gradient(plan))
         if shade_layout == "kp":
-            sid_kp = sid_k.transpose(0, 2, 1)        # (Tb, K, P)
+            # Ask the kernel for (Tb, K, P) directly — free in the LP
+            # kernel layout (its output rows ARE layers); the pk kernel
+            # transposes internally.
+            _t1_kp, sid_kp = peel_keys(packed, cand_b, pix_b, depth,
+                                       impl=keys_impl, chunk_lb=lb_b,
+                                       out_layout="kp")
             layers = shade_winners_kp(packed, sid_kp, pix_b, cand_sid)
             return composite_layers_kp(*layers)      # (Tb, P, 3)
+        _t1_k, sid_k = peel_keys(packed, cand_b, pix_b, depth,
+                                 impl=keys_impl, chunk_lb=lb_b)
         layers = shade_winners(packed, sid_k, pix_b, cand_sid)
         return composite_layers(*layers)             # (Tb, P, 3)
 
