@@ -28,23 +28,43 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(label, fn, readout, iters=7):
-    _ = np.asarray(readout(fn()))
-    probe = readout(fn())
+def _sync_floor():
+    """Per-sync tunnel overhead: executing ANY program and reading its
+    result back costs ~30 ms on the axon backend regardless of content
+    (scripts/lpprobe.py nullprobe, round 5) — and re-reading a CACHED
+    array costs ~0, so the old precomputed-probe floor subtracted
+    nothing. Time a fresh null program per iteration instead; bench.py's
+    floor (which re-executes) was already correct."""
+    import jax.numpy as jnp
+    null = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros((8, 128), jnp.float32)
+    _ = np.asarray(null(x))
     floors = []
-    for _ in range(5):
+    for _ in range(7):
         t0 = time.perf_counter()
-        _ = np.asarray(probe)
+        _ = np.asarray(null(x))
         floors.append(time.perf_counter() - t0)
     floors.sort()
+    return floors[3]
+
+
+_FLOOR = None
+
+
+def timeit(label, fn, readout, iters=7):
+    global _FLOOR
+    _ = np.asarray(readout(fn()))
+    if _FLOOR is None:
+        _FLOOR = _sync_floor()
+        print(f"(sync floor {_FLOOR*1e3:.1f} ms)")
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
         _ = np.asarray(readout(fn()))
         ts.append(time.perf_counter() - t0)
     ts.sort()
-    dt = max(ts[len(ts) // 2] - floors[2], 0.0)
-    lo = max(ts[0] - floors[2], 0.0)
+    dt = max(ts[len(ts) // 2] - _FLOOR, 0.0)
+    lo = max(ts[0] - _FLOOR, 0.0)
     print(f"{label:12s} {dt*1e3:8.1f} ms   (min {lo*1e3:.1f})")
     return dt
 

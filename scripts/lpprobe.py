@@ -28,23 +28,39 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(label, fn, readout, iters=7):
-    _ = np.asarray(readout(fn()))
-    probe = readout(fn())
+def _sync_floor():
+    """Per-sync tunnel overhead (~30 ms/program-execution round on axon;
+    a cached-array re-read costs ~0, so the old probe floor was a no-op).
+    See scripts/keystage.py:_sync_floor."""
+    null = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros((8, 128), jnp.float32)
+    _ = np.asarray(null(x))
     floors = []
-    for _ in range(5):
+    for _ in range(7):
         t0 = time.perf_counter()
-        _ = np.asarray(probe)
+        _ = np.asarray(null(x))
         floors.append(time.perf_counter() - t0)
     floors.sort()
+    return floors[3]
+
+
+_FLOOR = None
+
+
+def timeit(label, fn, readout, iters=7):
+    global _FLOOR
+    _ = np.asarray(readout(fn()))
+    if _FLOOR is None:
+        _FLOOR = _sync_floor()
+        print(f"(sync floor {_FLOOR*1e3:.1f} ms)")
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
         _ = np.asarray(readout(fn()))
         ts.append(time.perf_counter() - t0)
     ts.sort()
-    dt = max(ts[len(ts) // 2] - floors[2], 0.0)
-    lo = max(ts[0] - floors[2], 0.0)
+    dt = max(ts[len(ts) // 2] - _FLOOR, 0.0)
+    lo = max(ts[0] - _FLOOR, 0.0)
     print(f"{label:24s} {dt*1e3:8.1f} ms   (min {lo*1e3:.1f})")
     return dt
 
@@ -112,6 +128,58 @@ def main():
     for tag, o in outs.items():
         same = all(np.array_equal(a, b) for a, b in zip(ref, o))
         print(f"  {tag}: bitwise == {reftag}: {same}")
+
+    # --- Floor isolation: how much of the kernel time is per-grid-step
+    # overhead + the (bt, C, F) block DMA, independent of the sweep? ---
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from rtgs_tpu.ops.peel import G_DIM, _counts, _gather
+
+    gathered, _ = _gather(packed, cand)
+    t, c, f = gathered.shape
+    p = pix.shape[1]
+    depth = args.depth
+
+    def nothing_kernel(bmax_ref, feats_ref, pix_ref, out_ref):
+        out_ref[...] = jnp.full_like(out_ref, jnp.inf)
+
+    def touch_kernel(bmax_ref, feats_ref, pix_ref, out_ref):
+        # Forces the block to be read: one pass of sums over the feats.
+        x = feats_ref[...]
+        out_ref[...] = jnp.broadcast_to(
+            jnp.sum(x, axis=(1,), keepdims=True)[..., :1],
+            out_ref.shape)
+
+    bmax = _counts(cand)
+    for tsub in (t, t // 4, t // 16):
+        for tag, kern, feats_map in (
+                (f"floor nothing t={tsub}", nothing_kernel,
+                 lambda i, *_: (i, 0, 0)),
+                (f"floor touch t={tsub}", touch_kernel,
+                 lambda i, *_: (i, 0, 0)),
+        ):
+            call = pl.pallas_call(
+                kern,
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=1,
+                    grid=(tsub,),
+                    in_specs=[
+                        pl.BlockSpec((1, c, f), feats_map),
+                        pl.BlockSpec((1, p, G_DIM), lambda i, *_: (i, 0, 0)),
+                    ],
+                    out_specs=pl.BlockSpec((1, 2 * depth, p),
+                                           lambda i, *_: (i, 0, 0)),
+                ),
+                out_shape=jax.ShapeDtypeStruct((tsub, 2 * depth, p),
+                                               jnp.float32),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel",),
+                    vmem_limit_bytes=100 * 1024 * 1024),
+            )
+            gsub, psub, bsub = gathered[:tsub], pix[:tsub], bmax[:tsub]
+            fj = jax.jit(lambda g_, p_, b_, call=call: call(b_, g_, p_))
+            timeit(tag, lambda: fj(gsub, psub, bsub), lambda o: o[:1, 0, 0])
 
 
 if __name__ == "__main__":
