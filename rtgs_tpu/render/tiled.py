@@ -555,42 +555,49 @@ def _shade_kp_bwd(residuals, cots):
     plan = None
     if isinstance(cand_sid, tuple):
         cand_sid, plan = cand_sid
-    onehot = (cand_sid[:, :, None] == safe.reshape(t, 1, k * p)).astype(
+    c = cand_sid.shape[1]
+    safe_m = safe.reshape(t, 1, k * p)
+
+    def reduce_cols(cols):
+        """onehot mask-matmul + segment_sum over a column range."""
+        onehot = (cols[:, :, None] == safe_m).astype(jnp.float32)
+        d_cand = jnp.einsum("tcm,ftm->tcf", onehot,
+                            d_rows.reshape(f, t, k * p))
+        ids = jnp.where(cols >= 0, cols, packed.shape[0] - 1)
+        return jax.ops.segment_sum(
+            d_cand.reshape(-1, f), ids.reshape(-1),
+            num_segments=packed.shape[0])
+
+    if plan is None:
+        # Banded / sharded callers have no whole-frame placement map:
+        # accumulate per splat with the mask-matmul + segment_sum.
+        # Head/tail split (round 5): winners live in the EARLY candidate
+        # columns (globals ride first, locals are depth-sorted, and at
+        # bench densities the K nearest of ~200-700 depth-sorted
+        # candidates sit in the first chunks), so both the one-hot
+        # einsum and the segment_sum usually only need the head columns.
+        # Soundness: every non-vacant winner's id appears EXACTLY ONCE in
+        # its tile's candidate row (tile candidate ids are unique), so
+        # "some winner id not matched by any head column" is an exact
+        # test for a tail contribution; `matched` is a fused
+        # compare-reduce that never materializes the (T, W, M) mask.
+        w_head = min(c, max(256, -(-(c // 4) // 128) * 128))
+        if w_head >= c:
+            return (reduce_cols(cand_sid), None, None, None)
+        head_cols = cand_sid[:, :w_head]
+        matched = jnp.any(
+            head_cols[:, :, None] == safe_m, axis=1)     # (T, K·P)
+        vacant = safe.reshape(t, k * p) == packed.shape[0] - 1
+        tail_any = jnp.any(~matched & ~vacant)
+        d_packed = jax.lax.cond(
+            tail_any,
+            lambda: reduce_cols(cand_sid),
+            lambda: reduce_cols(head_cols))
+        return d_packed, None, None, None
+    onehot = (cand_sid[:, :, None] == safe_m).astype(
         jnp.float32)                                    # (T, C, K·P)
     d_cand = jnp.einsum("tcm,ftm->tcf", onehot,
                         d_rows.reshape(f, t, k * p))    # (T, C, F)
-    c = cand_sid.shape[1]
-    if plan is None:
-        # Banded / sharded callers have no whole-frame placement map:
-        # accumulate per splat with a segment_sum over candidate rows.
-        # Head/tail split (round 5): winners live in the EARLY candidate
-        # columns (globals ride first, locals are depth-sorted, and the
-        # forward's early termination sweeps only ~2-3 of 13 chunks at
-        # bench densities), so the trailing ~3/4 of d_cand rows are
-        # almost always all-zero — but a full T·C-row segment_sum pays
-        # ~22 ns/row for them regardless (measured 35 ms at 100k@384p;
-        # ~85% dead rows at 1M). Segment-sum the head columns only, and
-        # add the tail rows under a lax.cond that fires only when some
-        # tail element is actually nonzero — exact, because an all-zero
-        # tail contributes nothing to any segment.
-        ids = jnp.where(cand_sid >= 0, cand_sid, packed.shape[0] - 1)
-        w_head = min(c, max(256, -(-(c // 4) // 128) * 128))
-        if w_head >= c:
-            d_packed = jax.ops.segment_sum(
-                d_cand.reshape(-1, f), ids.reshape(-1),
-                num_segments=packed.shape[0])
-            return d_packed, None, None, None
-        head = jax.ops.segment_sum(
-            d_cand[:, :w_head, :].reshape(-1, f),
-            ids[:, :w_head].reshape(-1), num_segments=packed.shape[0])
-        tail = d_cand[:, w_head:, :]
-        d_packed = jax.lax.cond(
-            jnp.any(tail != 0.0),
-            lambda: head + jax.ops.segment_sum(
-                tail.reshape(-1, f), ids[:, w_head:].reshape(-1),
-                num_segments=packed.shape[0]),
-            lambda: head)
-        return d_packed, None, None, None
     # Gather-form accumulation (GradPlan): every splat reads its ≤
     # narrow²+1 candidate-row cotangents directly — no scatter, no
     # segment_sum (which spent 22 ns/row on 85% dead rows). Global

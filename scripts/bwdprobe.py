@@ -160,6 +160,38 @@ def main():
         pack_features(precompute_features(gg, cam)) ** 2)))
     timeit("featpack grad", lambda: gp(g), lambda o: o.means[:1, 0])
 
+    # --- sub-stages of the production shade backward (round 5) ---
+    c = cand.shape[1]
+    hp = jax.lax.Precision.HIGHEST
+
+    # d_rows assembly INPUT: fixed per-winner cotangents (values don't
+    # matter for timing; shapes do).
+    d_rows0 = jnp.ones((f, t, k, p), jnp.float32)
+
+    onehot_einsum = jax.jit(lambda dr: jnp.einsum(
+        "tcm,ftm->tcf",
+        (cand[:, :, None] == safe.reshape(t, 1, k * p)).astype(jnp.float32),
+        dr.reshape(f, t, k * p)))
+    d_cand0 = onehot_einsum(d_rows0)
+    timeit("onehot einsum", lambda: onehot_einsum(d_rows0),
+           lambda o: o[:1, 0, 0])
+
+    ids = jnp.where(cand >= 0, cand, packed0.shape[0] - 1)
+    seg_full = jax.jit(lambda dc: jax.ops.segment_sum(
+        dc.reshape(-1, f), ids.reshape(-1),
+        num_segments=packed0.shape[0]))
+    timeit("segsum full C", lambda: seg_full(d_cand0), lambda o: o[:1, 0])
+
+    w_head = min(c, max(256, -(-(c // 4) // 128) * 128))
+    seg_head = jax.jit(lambda dc: jax.ops.segment_sum(
+        dc[:, :w_head, :].reshape(-1, f), ids[:, :w_head].reshape(-1),
+        num_segments=packed0.shape[0]))
+    timeit(f"segsum head {w_head}", lambda: seg_head(d_cand0),
+           lambda o: o[:1, 0])
+
+    tail_any = jax.jit(lambda dc: jnp.any(dc[:, w_head:, :] != 0.0))
+    timeit("tail any-check", lambda: tail_any(d_cand0), lambda o: o[None])
+
 
 if __name__ == "__main__":
     main()

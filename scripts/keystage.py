@@ -122,16 +122,29 @@ def main():
     packed = fp(g)
     jax.block_until_ready((cand, lb, pix, packed))
 
-    kern = jax.jit(lambda p: peel_keys(p, cand, pix, args.depth,
-                                       chunk_lb=lb))
-    timeit("kernel", lambda: kern(packed), lambda o: o[0][:1, 0, 0])
+    if args.bands > 1:
+        # Isolated kernel/shade at one band's scale (the monolithic
+        # (T, C, F) gather is the thing banding exists to avoid — 7.75 GB
+        # at 1M); scale the printed numbers by the band count mentally.
+        nb = -(-cand.shape[0] // args.bands)
+        cand, lb, pix = cand[:nb], lb[:nb], pix[:nb]
+        print(f"(isolated kernel/shade limited to first {nb} tiles "
+              f"= 1/{args.bands} of the frame)")
+    # Pass the big arrays as ARGUMENTS, not closure constants: baked-in
+    # constants ride inside the remote-compile request body, which the
+    # tunnel caps (HTTP 413 at the 1M shapes).
+    kern = jax.jit(lambda p, cand_, pix_, lb_: peel_keys(
+        p, cand_, pix_, args.depth, chunk_lb=lb_))
+    timeit("kernel", lambda: kern(packed, cand, pix, lb),
+           lambda o: o[0][:1, 0, 0])
 
-    _t1k, sid_k = kern(packed)
+    _t1k, sid_k = kern(packed, cand, pix, lb)
     sid_kp = jax.lax.stop_gradient(sid_k.transpose(0, 2, 1))
     jax.block_until_ready(sid_kp)
-    sh = jax.jit(lambda p: composite_layers_kp(*shade_winners_kp(
-        p, sid_kp, pix)))
-    timeit("shade+comp", lambda: sh(packed), lambda o: o[:1, 0])
+    sh = jax.jit(lambda p, s_, pix_: composite_layers_kp(*shade_winners_kp(
+        p, s_, pix_)))
+    timeit("shade+comp", lambda: sh(packed, sid_kp, pix),
+           lambda o: o[:1, 0])
 
     fwd = jax.jit(lambda gg: render_tiled_keys(gg, cam, **kw))
     timeit("full fwd", lambda: fwd(g), lambda o: o[:1, 0])
